@@ -1,0 +1,85 @@
+"""CMC/mAP: vectorized numpy vs literal-loop oracle vs jitted XLA kernel.
+
+Mirrors the reference's own oracle pattern (random distmats compared
+across implementations, rank_cylib/test_cython.py)."""
+import numpy as np
+import pytest
+
+from bpbreid_tpu.metrics.rank import (
+    eval_cuhk03,
+    eval_market1501,
+    eval_market1501_loop,
+    evaluate_rank,
+)
+
+
+def _random_case(rng, num_q=30, num_g=200, num_pid=20, num_cam=5):
+    distmat = rng.random((num_q, num_g))
+    q_pids = rng.integers(0, num_pid, num_q)
+    g_pids = rng.integers(0, num_pid, num_g)
+    q_camids = rng.integers(0, num_cam, num_q)
+    g_camids = rng.integers(0, num_cam, num_g)
+    return distmat, q_pids, g_pids, q_camids, g_camids
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3])
+def test_vectorized_matches_loop_oracle(seed):
+    rng = np.random.default_rng(seed)
+    case = _random_case(rng)
+    fast = eval_market1501(*case, max_rank=20)
+    slow = eval_market1501_loop(*case, max_rank=20)
+    np.testing.assert_allclose(fast['cmc'], slow['cmc'], atol=1e-6)
+    assert fast['mAP'] == pytest.approx(slow['mAP'], abs=1e-9)
+
+
+def test_jit_kernel_matches_numpy():
+    from bpbreid_tpu.ops.ranking import cmc_map
+    rng = np.random.default_rng(7)
+    case = _random_case(rng)
+    ref = eval_market1501(*case, max_rank=20)
+    cmc, mAP, n_valid = cmc_map(*[np.asarray(c) for c in case], max_rank=20)
+    np.testing.assert_allclose(np.asarray(cmc), ref['cmc'], atol=1e-5)
+    assert float(mAP) == pytest.approx(ref['mAP'], abs=1e-6)
+    assert int(n_valid) > 0
+
+
+def test_perfect_ranking():
+    # two queries, gallery contains exact matches first
+    distmat = np.array([[0.0, 0.5, 0.9], [0.5, 0.0, 0.9]])
+    q_pids = np.array([0, 1])
+    g_pids = np.array([0, 1, 2])
+    q_camids = np.array([0, 0])
+    g_camids = np.array([1, 1, 1])
+    out = eval_market1501(distmat, q_pids, g_pids, q_camids, g_camids, 3)
+    assert out['cmc'][0] == 1.0
+    assert out['mAP'] == pytest.approx(1.0)
+
+
+def test_same_cam_junk_removed():
+    # the only gallery match shares (pid, camid) with the query -> invalid query
+    distmat = np.array([[0.1, 0.2], [0.3, 0.1]])
+    q_pids = np.array([0, 1])
+    g_pids = np.array([0, 1])
+    q_camids = np.array([0, 0])
+    g_camids = np.array([0, 1])  # query0's match is junk, query1's is valid
+    out = eval_market1501(distmat, q_pids, g_pids, q_camids, g_camids, 2)
+    # only query 1 is valid and ranks its match first
+    assert out['cmc'][0] == 1.0
+    assert out['mAP'] == pytest.approx(1.0)
+
+
+def test_evaluate_rank_dispatcher():
+    rng = np.random.default_rng(3)
+    case = _random_case(rng)
+    out = evaluate_rank(*case, max_rank=10, eval_metric='default')
+    assert out['cmc'].shape == (10,)
+    assert 0.0 <= out['mAP'] <= 1.0
+    out2 = eval_cuhk03(*case, max_rank=10, rng=np.random.default_rng(0))
+    assert out2['cmc'].shape == (10,)
+
+
+def test_cmc_monotonic():
+    rng = np.random.default_rng(11)
+    case = _random_case(rng)
+    out = eval_market1501(*case, max_rank=50)
+    assert np.all(np.diff(out['cmc']) >= -1e-7)
