@@ -1,0 +1,13 @@
+from bpbreid_tpu.data.datamanager import DataManager, ImageDataManager
+from bpbreid_tpu.data.datasets import (
+    init_image_dataset,
+    get_image_dataset,
+    register_image_dataset,
+)
+from bpbreid_tpu.data.loader import BatchLoader
+from bpbreid_tpu.data.sampler import (
+    RandomIdentitySampler,
+    RandomSampler,
+    SequentialSampler,
+    build_train_sampler,
+)

@@ -1,0 +1,159 @@
+"""Device-side batched augmentation pipeline.
+
+The reference augments per-sample on CPU workers with albumentations
+(reference: torchreid/data/transforms.py:24-163). Here the host only
+decodes + resizes; every augmentation below runs **batched on the TPU
+inside the jitted train step** — flip/crop/jitter/erase are a handful of
+fused elementwise/gather ops on [N, H, W, C] arrays, and the mask
+grouping chain (grouping matmul -> background -> /4 downscale) fuses
+with them. Semantics mirror the reference pipeline:
+
+  resize -> [flip p=.5] -> [pad10+random crop] -> [color jitter p=.5]
+  -> normalize -> [coarse dropout p=.5] -> mask chain
+
+Joint image/mask treatment matches albumentations' dual transforms: the
+spatial ops (flip/crop/erase) are applied to the masks with the same
+random draws.
+"""
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from bpbreid_tpu.ops.masks import add_background_mask, group_masks, group_masks_special
+from bpbreid_tpu.ops.resize import resize_nearest
+
+__all__ = ['train_augment', 'eval_preprocess', 'mask_chain']
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _hflip(imgs, masks, rng):
+    flip = jax.random.bernoulli(rng, 0.5, (imgs.shape[0], 1, 1, 1))
+    flipped = imgs[:, :, ::-1]
+    imgs = jnp.where(flip, flipped, imgs)
+    if masks is not None:
+        masks = jnp.where(flip, masks[:, :, ::-1], masks)
+    return imgs, masks
+
+
+def _pad_crop(imgs, masks, rng, pad=10):
+    n, h, w, _ = imgs.shape
+    ip = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    off = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
+
+    def crop_one(x, o):
+        return jax.lax.dynamic_slice(
+            x, (o[0], o[1], 0), (h, w, x.shape[-1]))
+
+    imgs = jax.vmap(crop_one)(ip, off)
+    if masks is not None:
+        mp = jnp.pad(masks, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        masks = jax.vmap(crop_one)(mp, off)
+    return imgs, masks
+
+
+def _color_jitter(imgs, rng, brightness=0.2, contrast=0.15, p=0.5):
+    """Brightness/contrast jitter on [0,1] images (saturation/hue are 0 in
+    the shipped configs)."""
+    n = imgs.shape[0]
+    r_apply, r_b, r_c = jax.random.split(rng, 3)
+    apply = jax.random.bernoulli(r_apply, p, (n, 1, 1, 1))
+    b = jax.random.uniform(r_b, (n, 1, 1, 1), minval=1 - brightness,
+                           maxval=1 + brightness)
+    c = jax.random.uniform(r_c, (n, 1, 1, 1), minval=1 - contrast,
+                           maxval=1 + contrast)
+    out = jnp.clip(imgs * b, 0.0, 1.0)
+    gray = (out[..., 0] * 0.299 + out[..., 1] * 0.587 + out[..., 2] * 0.114)
+    mean = gray.mean(axis=(1, 2))[:, None, None, None]
+    out = jnp.clip(out * c + (1 - c) * mean, 0.0, 1.0)
+    return jnp.where(apply, out, imgs)
+
+
+def _normalize(imgs, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    mean = jnp.asarray(mean, imgs.dtype)
+    std = jnp.asarray(std, imgs.dtype)
+    return (imgs - mean) / std
+
+
+def _coarse_dropout(imgs, masks, rng, mean=IMAGENET_MEAN, p=0.5):
+    """One random rectangle per sample: image filled with the (raw) mean
+    values, masks zeroed (reference CoarseDropout params:
+    transforms.py:114-117)."""
+    n, h, w, _ = imgs.shape
+    r_apply, r_hh, r_ww, r_y, r_x = jax.random.split(rng, 5)
+    apply = jax.random.bernoulli(r_apply, p, (n,))
+    hole_h = jax.random.randint(r_hh, (n,), int(h * 0.15), int(h * 0.65) + 1)
+    hole_w = jax.random.randint(r_ww, (n,), int(w * 0.15), int(w * 0.65) + 1)
+    y0 = jax.random.randint(r_y, (n,), 0, h)
+    x0 = jax.random.randint(r_x, (n,), 0, w)
+    y0 = jnp.minimum(y0, h - hole_h)
+    x0 = jnp.minimum(x0, w - hole_w)
+    yy = jnp.arange(h)[None, :, None]
+    xx = jnp.arange(w)[None, None, :]
+    inside = ((yy >= y0[:, None, None]) & (yy < (y0 + hole_h)[:, None, None])
+              & (xx >= x0[:, None, None]) & (xx < (x0 + hole_w)[:, None, None]))
+    inside = inside & apply[:, None, None]
+    fill = jnp.asarray(mean, imgs.dtype)
+    imgs = jnp.where(inside[..., None], fill, imgs)
+    if masks is not None:
+        masks = jnp.where(inside[..., None], 0.0, masks)
+    return imgs, masks
+
+
+def mask_chain(masks, grouping_matrix=None, combine='max', special=None,
+               background_strategy='threshold', softmax_weight=15.0,
+               mask_filtering_threshold=0.5, mask_scale=4):
+    """Grouping -> background -> nearest /mask_scale downscale
+    (reference mask chain: transforms.py:133-158)."""
+    if special is not None:
+        masks = group_masks_special(masks, special)
+    elif grouping_matrix is not None:
+        masks = group_masks(masks, grouping_matrix, combine)
+    masks = add_background_mask(masks, background_strategy, softmax_weight,
+                                mask_filtering_threshold)
+    h, w = masks.shape[-3], masks.shape[-2]
+    return resize_nearest(masks, h // mask_scale, w // mask_scale)
+
+
+def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
+                  norm_mean=IMAGENET_MEAN, norm_std=IMAGENET_STD,
+                  cj_brightness=0.2, cj_contrast=0.15, cj_p=0.5,
+                  mask_kwargs=None):
+    """Full batched train-time pipeline.
+
+    Args:
+        imgs_u8: ``[N, H, W, 3]`` uint8.
+        masks: ``[N, H, W, C]`` float raw confidence fields or None.
+        rng: jax PRNG key.
+        transforms: subset of {'rf'/'random_flip', 'rc'/'random_crop',
+            'cj'/'color_jitter', 're'/'random_erase'}.
+    Returns:
+        (images float32 normalized, grouped masks [N, H/4, W/4, K+1] or None)
+    """
+    transforms = [t.lower() for t in (transforms or [])]
+    imgs = imgs_u8.astype(jnp.float32) / 255.0
+    r = jax.random.split(rng, 4)
+    if 'random_flip' in transforms or 'rf' in transforms:
+        imgs, masks = _hflip(imgs, masks, r[0])
+    if 'random_crop' in transforms or 'rc' in transforms:
+        imgs, masks = _pad_crop(imgs, masks, r[1])
+    if 'color_jitter' in transforms or 'cj' in transforms:
+        imgs = _color_jitter(imgs, r[2], cj_brightness, cj_contrast, cj_p)
+    imgs = _normalize(imgs, norm_mean, norm_std)
+    if 'random_erase' in transforms or 're' in transforms:
+        imgs, masks = _coarse_dropout(imgs, masks, r[3], mean=norm_mean)
+    if masks is not None:
+        masks = mask_chain(masks, **(mask_kwargs or {}))
+    return imgs, masks
+
+
+def eval_preprocess(imgs_u8, masks=None, norm_mean=IMAGENET_MEAN,
+                    norm_std=IMAGENET_STD, mask_kwargs=None):
+    """Test-time pipeline: normalize + mask chain only."""
+    imgs = _normalize(imgs_u8.astype(jnp.float32) / 255.0, norm_mean, norm_std)
+    if masks is not None:
+        masks = mask_chain(masks, **(mask_kwargs or {}))
+    return imgs, masks

@@ -1,0 +1,42 @@
+"""Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
+from bpbreid_tpu.models import hrnet, resnet
+from bpbreid_tpu.models.hrnet import hrnet32
+from bpbreid_tpu.models.resnet import (
+    resnet18, resnet34, resnet50, resnet50_fc512, resnet101, resnet152,
+    resnext50_32x4d, resnext101_32x8d,
+)
+
+__model_factory = {
+    'resnet18': resnet18,
+    'resnet34': resnet34,
+    'resnet50': resnet50,
+    'resnet101': resnet101,
+    'resnet152': resnet152,
+    'resnext50_32x4d': resnext50_32x4d,
+    'resnext101_32x8d': resnext101_32x8d,
+    'resnet50_fc512': resnet50_fc512,
+    'hrnet32': hrnet32,
+}
+
+
+def show_avai_models():
+    return sorted(__model_factory)
+
+
+def register_model(name, fn):
+    if name in __model_factory:
+        raise KeyError('model {} already registered'.format(name))
+    __model_factory[name] = fn
+
+
+def build_model(name, num_classes, loss='softmax', pretrained=True,
+                use_gpu=True, **kwargs):
+    """Build a model by registry name (mirrors
+    torchreid/models/__init__.py:102-140). Returns a flax Module; weight
+    loading happens via utils.torch_weights / checkpoints."""
+    del use_gpu
+    if name not in __model_factory:
+        raise KeyError('Unknown model: {}. Must be one of {}'.format(
+            name, show_avai_models()))
+    return __model_factory[name](num_classes=num_classes, loss=loss,
+                                 pretrained=pretrained, **kwargs)

@@ -1,0 +1,115 @@
+"""Shared conv-net building blocks (NHWC, flax.linen).
+
+Parameter paths mirror the reference torch ``state_dict`` paths exactly
+(e.g. ``layer1.0.conv1``) so pretrained torch checkpoints convert to
+flax variables with a single generic name-preserving pass
+(see bpbreid_tpu/utils/torch_weights.py). Convolution padding is
+explicit (torch-style symmetric) rather than XLA 'SAME' to keep
+numerical parity for stride-2 convs.
+
+Compute dtype is configurable (bfloat16 on TPU); parameters and BN
+statistics stay float32.
+"""
+from typing import Any, Callable, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+BN_MOMENTUM = 0.9   # == torch momentum 0.1 (flax momentum keeps the old value)
+BN_EPS = 1e-5
+
+
+def conv(x, features, kernel, stride=1, name='conv', dtype=jnp.float32,
+         groups=1, use_bias=False, padding=None):
+    """torch-parity conv: symmetric padding of kernel//2 unless given."""
+    pad = kernel // 2 if padding is None else padding
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)), use_bias=use_bias,
+                   feature_group_count=groups, dtype=dtype, name=name)(x)
+
+
+def bn(x, train, name='bn', dtype=jnp.float32):
+    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS, dtype=dtype, name=name)(x)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + residual (expansion 1)."""
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = nn.relu(bn(conv(x, self.planes, 3, self.stride, 'conv1',
+                              self.dtype), train, 'bn1', self.dtype))
+        out = bn(conv(out, self.planes, 3, 1, 'conv2', self.dtype),
+                 train, 'bn2', self.dtype)
+        if self.has_downsample:
+            residual = bn(conv(x, self.planes, 1, self.stride, 'downsample.0',
+                               self.dtype), train, 'downsample.1', self.dtype)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck + residual (expansion 4).
+
+    ``groups``/``base_width`` support the ResNeXt variants."""
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out = nn.relu(bn(conv(x, width, 1, 1, 'conv1', self.dtype),
+                         train, 'bn1', self.dtype))
+        out = nn.relu(bn(conv(out, width, 3, self.stride, 'conv2', self.dtype,
+                              groups=self.groups), train, 'bn2', self.dtype))
+        out = bn(conv(out, self.planes * 4, 1, 1, 'conv3', self.dtype),
+                 train, 'bn3', self.dtype)
+        if self.has_downsample:
+            residual = bn(conv(x, self.planes * 4, 1, self.stride,
+                               'downsample.0', self.dtype),
+                          train, 'downsample.1', self.dtype)
+        return nn.relu(out + residual)
+
+
+class ResLayer(nn.Module):
+    """A stack of residual blocks named ``<i>`` like a torch Sequential."""
+    block: Callable
+    planes: int
+    num_blocks: int
+    stride: int = 1
+    groups: int = 1
+    base_width: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        expansion = self.block.expansion
+        needs_ds = self.stride != 1 or x.shape[-1] != self.planes * expansion
+        x = self.block(self.planes, self.stride, needs_ds, groups=self.groups,
+                       base_width=self.base_width, dtype=self.dtype,
+                       name='0')(x, train)
+        for i in range(1, self.num_blocks):
+            x = self.block(self.planes, 1, False, groups=self.groups,
+                           base_width=self.base_width, dtype=self.dtype,
+                           name=str(i))(x, train)
+        return x
+
+
+def max_pool_torch(x, window=3, stride=2, padding=1):
+    """torch-style max pool with symmetric -inf padding."""
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=((padding, padding), (padding, padding)))

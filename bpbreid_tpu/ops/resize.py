@@ -63,9 +63,14 @@ def resize_bilinear_align_corners(x, out_h, out_w):
     Returns:
         ``[..., out_h, out_w, C]``.
     """
+    import jax
     ih, iw = x.shape[-3], x.shape[-2]
     mh = jnp.asarray(_linear_matrix_align_corners(ih, out_h))
     mw = jnp.asarray(_linear_matrix_align_corners(iw, out_w))
-    x = jnp.einsum('oh,...hwc->...owc', mh, x)
-    x = jnp.einsum('pw,...owc->...opc', mw, x)
+    # HIGHEST precision: each output is a 2-term convex combination and must
+    # match torch bit-for-bit-ish; default (bf16 passes on TPU) loses ~5e-3
+    x = jnp.einsum('oh,...hwc->...owc', mh, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    x = jnp.einsum('pw,...owc->...opc', mw, x,
+                   precision=jax.lax.Precision.HIGHEST)
     return x

@@ -1,0 +1,213 @@
+"""Losses: hand-computed goldens, torch cross-checks for CE, and the
+batch-hard mining semantics with -1 invalid pairs."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bpbreid_tpu.constants import CONCAT_PARTS, FOREGROUND, GLOBAL, PARTS, PIXELS
+from bpbreid_tpu.losses import (
+    BodyPartAttentionLoss,
+    GiLtLoss,
+    PartAveragedTripletLoss,
+    PartIndividualTripletLoss,
+    PartMaxMinTripletLoss,
+    PartMaxTripletLoss,
+    PartMinTripletLoss,
+    TripletLoss,
+    cross_entropy_loss,
+    init_part_based_triplet_loss,
+)
+from bpbreid_tpu.losses.triplet import (
+    hard_mine_triplet_loss,
+    part_based_pairwise_distance_matrix,
+)
+
+
+def test_cross_entropy_matches_torch():
+    import torch
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(6, 10)).astype(np.float32)
+    targets = rng.integers(0, 10, 6)
+    got = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(targets),
+                                   eps=0.1))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        label_smoothing=0.1).item()
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_cross_entropy_weighted():
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(4, 5)).astype(np.float32))
+    targets = jnp.asarray([0, 1, 2, 3])
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    got = float(cross_entropy_loss(logits, targets, eps=0.0, weights=w))
+    # manual: per-sample CE weighted by w/|w|_1
+    log_p = np.asarray(jax.nn.log_softmax(logits, axis=1))
+    per = -log_p[np.arange(4), np.asarray(targets)]
+    want = float((per * np.asarray(w / w.sum())).sum())
+    assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_pairwise_distance_matrix():
+    emb = jnp.asarray([[[0.0, 0.0], [3.0, 4.0]]])   # [K=1, N=2, D=2]
+    d = np.asarray(part_based_pairwise_distance_matrix(emb))
+    np.testing.assert_allclose(d[0], [[0, 5], [5, 0]], atol=1e-5)
+
+
+def test_hard_mine_basic():
+    # 4 samples, 2 ids; distances constructed so loss is computable by hand
+    dist = jnp.asarray([[
+        [0.0, 1.0, 4.0, 5.0],
+        [1.0, 0.0, 3.0, 6.0],
+        [4.0, 3.0, 0.0, 2.0],
+        [5.0, 6.0, 2.0, 0.0],
+    ]])
+    labels = jnp.asarray([0, 0, 1, 1])
+    loss, trivial, valid = hard_mine_triplet_loss(dist, labels, margin=0.3)
+    # anchors: hp=[1,1,2,2], hn=[4,3,3,5] -> relu(hp-hn+0.3)=0 for all
+    assert float(loss) == pytest.approx(0.0)
+    assert float(trivial) == pytest.approx(1.0)
+    assert float(valid) == pytest.approx(1.0)
+
+
+def test_hard_mine_with_margin_violation():
+    dist = jnp.asarray([[
+        [0.0, 3.0, 1.0],
+        [3.0, 0.0, 5.0],
+        [1.0, 5.0, 0.0],
+    ]])
+    labels = jnp.asarray([0, 0, 1])
+    loss, trivial, valid = hard_mine_triplet_loss(dist, labels, margin=0.3)
+    # anchor0: hp=3, hn=1 -> 2.3; anchor1: hp=3, hn=5 -> 0; anchor2: no pos
+    # (single sample of id 1 -> invalid anchor)
+    assert float(loss) == pytest.approx(2.3 / 2, abs=1e-5)
+    assert float(valid) == pytest.approx(2.0 / 3.0, abs=1e-5)
+
+
+def test_hard_mine_invalid_pairs_ignored():
+    # pair (0,1) invalid (-1): anchor0 has no valid positive
+    dist = jnp.asarray([[
+        [0.0, -1.0, 1.0],
+        [-1.0, 0.0, 5.0],
+        [1.0, 5.0, 0.0],
+    ]])
+    labels = jnp.asarray([0, 0, 1])
+    loss, trivial, valid = hard_mine_triplet_loss(dist, labels, margin=0.3)
+    assert float(valid) == pytest.approx(0.0)
+    assert float(loss) == pytest.approx(0.0)
+
+
+def test_part_averaged_equals_classic_when_k1():
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(8, 1, 16)).astype(np.float32)
+    labels = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    pal = PartAveragedTripletLoss(margin=0.3)
+    loss, _, valid = pal(jnp.asarray(emb), jnp.asarray(labels))
+    classic = TripletLoss(margin=0.3)(jnp.asarray(emb[:, 0]),
+                                      jnp.asarray(labels))
+    assert float(valid) == 1.0
+    assert float(loss) == pytest.approx(float(classic), abs=1e-4)
+
+
+def test_visibility_masks_drop_parts():
+    rng = np.random.default_rng(3)
+    emb = rng.normal(size=(4, 2, 8)).astype(np.float32)
+    labels = jnp.asarray([0, 0, 1, 1])
+    vis_all = jnp.ones((4, 2), bool)
+    vis_part0 = jnp.asarray([[True, False]] * 4)
+    pal = PartAveragedTripletLoss(margin=0.3)
+    l_all, _, _ = pal(jnp.asarray(emb), labels, parts_visibility=vis_all)
+    l_p0, _, _ = pal(jnp.asarray(emb), labels, parts_visibility=vis_part0)
+    # with only part 0 visible, loss equals the K=1 loss on part 0 alone
+    l_ref, _, _ = pal(jnp.asarray(emb[:, :1]), labels)
+    assert float(l_p0) == pytest.approx(float(l_ref), abs=1e-5)
+    assert float(l_all) != pytest.approx(float(l_p0), abs=1e-6)
+
+
+@pytest.mark.parametrize('name', [
+    'part_averaged_triplet_loss', 'part_max_triplet_loss',
+    'part_min_triplet_loss', 'part_max_min_triplet_loss',
+    'part_random_max_min_triplet_loss', 'intra_parts_triplet_loss',
+    'inter_parts_triplet_loss'])
+def test_all_variants_run_and_finite(name):
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(8, 3, 16)).astype(np.float32)
+    labels = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    vis = jnp.asarray(rng.random((8, 3)) > 0.2)
+    fn = init_part_based_triplet_loss(name, margin=0.3)
+    kw = {} if name == 'inter_parts_triplet_loss' else dict(
+        parts_visibility=vis, rng=jax.random.PRNGKey(0))
+    loss, trivial, valid = fn(jnp.asarray(emb), labels, **kw)
+    assert np.isfinite(float(loss))
+    assert 0.0 <= float(valid) <= 1.0
+
+
+def test_max_min_combination_golden():
+    # 2 parts with different distances; same-id pairs use max, diff-id min
+    d = np.zeros((2, 3, 3), np.float32)
+    d[0] = [[0, 1, 2], [1, 0, 3], [2, 3, 0]]
+    d[1] = [[0, 4, 1], [4, 0, 2], [1, 2, 0]]
+    labels = jnp.asarray([0, 0, 1])
+    comb = PartMaxMinTripletLoss().combine(jnp.asarray(d), None, labels)
+    comb = np.asarray(comb)[0]
+    assert comb[0, 1] == 4.0          # same id -> max over parts
+    assert comb[0, 2] == 1.0          # diff id -> min over parts
+    assert comb[1, 2] == 2.0
+
+
+def test_gilt_loss_default_weights():
+    rng = np.random.default_rng(5)
+    n, k, d, c = 8, 2, 16, 4
+    pids = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])
+    embeddings = {
+        GLOBAL: jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)),
+        FOREGROUND: jnp.asarray(rng.normal(size=(n, d)).astype(np.float32)),
+        CONCAT_PARTS: jnp.asarray(rng.normal(size=(n, k * d)).astype(np.float32)),
+        PARTS: jnp.asarray(rng.normal(size=(n, k, d)).astype(np.float32)),
+    }
+    visibility = {
+        GLOBAL: jnp.ones(n), FOREGROUND: jnp.ones(n),
+        CONCAT_PARTS: jnp.ones(n), PARTS: jnp.ones((n, k), bool),
+    }
+    scores = {
+        GLOBAL: jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        FOREGROUND: jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        CONCAT_PARTS: jnp.asarray(rng.normal(size=(n, c)).astype(np.float32)),
+        PARTS: jnp.asarray(rng.normal(size=(n, k, c)).astype(np.float32)),
+    }
+    gilt = GiLtLoss(use_visibility_scores=True)
+    loss, summary = gilt(embeddings, visibility, scores, pids)
+    assert np.isfinite(float(loss))
+    # default: CE on holistic streams only, triplet on parts only
+    assert 'c' in summary[GLOBAL] and 't' not in summary[GLOBAL]
+    assert 't' in summary[PARTS] and 'c' not in summary[PARTS]
+    # loss must equal weighted sum of components
+    expected = (summary[GLOBAL]['c'] + summary[FOREGROUND]['c']
+                + summary[CONCAT_PARTS]['c'] + summary[PARTS]['t'])
+    assert float(loss) == pytest.approx(float(expected), rel=1e-5)
+
+
+def test_bpa_loss_cl_matches_torch():
+    import torch
+    rng = np.random.default_rng(6)
+    logits = rng.normal(size=(2, 4, 3, 5)).astype(np.float32)  # [N,H,W,K+1]
+    targets = rng.integers(0, 5, (2, 4, 3))
+    bpa = BodyPartAttentionLoss(loss_type='cl')
+    loss, summary = bpa(jnp.asarray(logits), jnp.asarray(targets))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits.reshape(-1, 5)),
+        torch.from_numpy(targets.reshape(-1)), label_smoothing=0.1).item()
+    assert float(loss) == pytest.approx(want, abs=1e-5)
+    assert 0.0 <= float(summary[PIXELS]['a']) <= 1.0
+
+
+def test_bpa_focal_and_dice_run():
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.normal(size=(2, 4, 3, 5)).astype(np.float32))
+    targets = jnp.asarray(rng.integers(0, 5, (2, 4, 3)))
+    for lt in ('fl', 'dl'):
+        loss, _ = BodyPartAttentionLoss(loss_type=lt)(logits, targets)
+        assert np.isfinite(float(loss))
+        assert float(loss) >= 0
