@@ -1,0 +1,70 @@
+"""Benchmark: HRNet-W32 BPBreID inference throughput (images/sec/chip).
+
+Measures the headline metric from BASELINE.json — part-based inference
+(backbone + pixel attention + GWAP pooling + BNNeck heads + visibility)
+at 384x128 in bfloat16 — and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+vs_baseline is relative to the 5000 img/s/chip target.
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batch-size', type=int, default=128)
+    parser.add_argument('--iters', type=int, default=20)
+    parser.add_argument('--warmup', type=int, default=5)
+    parser.add_argument('--backbone', default='hrnet32')
+    parser.add_argument('--height', type=int, default=384)
+    parser.add_argument('--width', type=int, default=128)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bpbreid_tpu.constants import BN_FOREGROUND, PARTS
+    from bpbreid_tpu.models.bpbreid import BPBreID
+
+    model = BPBreID(num_classes=751, parts_num=5, backbone=args.backbone,
+                    last_stride=1, dim_reduce='after_pooling',
+                    dim_reduce_output=512, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(
+        rng, (args.batch_size, args.height, args.width, 3), jnp.float32)
+    variables = model.init(rng, images[:2], train=False)
+
+    @jax.jit
+    def forward(variables, images):
+        emb, vis, _cls, _pix, _feat, _masks = model.apply(
+            variables, images, train=False)
+        return emb[BN_FOREGROUND], emb[PARTS], vis[PARTS]
+
+    # warmup + compile
+    out = forward(variables, images)
+    jax.block_until_ready(out)
+    for _ in range(args.warmup):
+        out = forward(variables, images)
+    jax.block_until_ready(out)
+
+    start = time.perf_counter()
+    for _ in range(args.iters):
+        out = forward(variables, images)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    imgs_per_sec = args.batch_size * args.iters / elapsed
+    n_chips = max(1, len(jax.devices()))
+    per_chip = imgs_per_sec / n_chips
+    print(json.dumps({
+        'metric': 'hrnet32_bpbreid_inference_384x128_bf16',
+        'value': round(per_chip, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(per_chip / 5000.0, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,4 @@
+from bpbreid_tpu.engine.engine import Engine
+from bpbreid_tpu.engine.part_based import ImagePartBasedEngine, TrainState
+from bpbreid_tpu.engine.image.softmax import ImageSoftmaxEngine
+from bpbreid_tpu.engine.image.triplet import ImageTripletEngine

@@ -1,0 +1,190 @@
+"""Engine base: the train/eval orchestration loop.
+
+Mirror of the reference Engine (reference: torchreid/engine/engine.py:19-559):
+``run()`` drives epochs -> train -> periodic/final test -> checkpoint,
+with two-stepped transfer learning (freeze base layers for
+``fixbase_epoch`` epochs) and resume support.
+
+The compute path is jitted by subclasses; this class owns the
+host-side control flow, the EngineState event bus and the Writer.
+"""
+import os
+import os.path as osp
+import time
+
+import numpy as np
+
+from bpbreid_tpu.utils.avgmeter import AverageMeter, MetricsSummary, TimeMeter
+from bpbreid_tpu.utils.engine_state import EngineState
+
+__all__ = ['Engine']
+
+
+class Engine:
+    def __init__(self, config, datamanager, writer=None, engine_state=None):
+        self.config = config
+        self.datamanager = datamanager
+        self.writer = writer
+        self.engine_state = engine_state or EngineState(
+            config.train.start_epoch, config.train.max_epoch)
+        self.epoch = config.train.start_epoch
+        self.start_epoch = config.train.start_epoch
+        self.max_epoch = config.train.max_epoch
+        self.lr_schedule = None
+        self.logs = []
+
+    # ------------------------------------------------------------------
+    # subclass contract
+    # ------------------------------------------------------------------
+    def forward_backward(self, batch):
+        raise NotImplementedError
+
+    def _evaluate(self, epoch, dataset_name='', query_loader=None,
+                  gallery_loader=None, **kwargs):
+        raise NotImplementedError
+
+    def set_freeze_base(self, freeze):
+        """Two-stepped transfer learning hook (subclasses implement by
+        masking base-layer gradients)."""
+
+    def update_lr(self, epoch):
+        if self.lr_schedule is not None:
+            lr = self.lr_schedule(epoch)
+            self.engine_state.update_lr(lr)
+            self.apply_lr(lr)
+            return lr
+        return None
+
+    def apply_lr(self, lr):
+        pass
+
+    def save_model(self, epoch, save_dir, cmc=None, mAP=None, ssmd=None,
+                   is_best=False):
+        pass
+
+    # ------------------------------------------------------------------
+    def run(self, save_dir='log', max_epoch=0, start_epoch=0, print_freq=10,
+            fixbase_epoch=0, open_layers=None, start_eval=0, eval_freq=-1,
+            test_only=False, dist_metric='euclidean', normalize_feature=False,
+            visrank=False, visrank_topk=10, visrank_q_idx_list=None,
+            visrank_count=10, use_metric_cuhk03=False, ranks=(1, 5, 10, 20),
+            rerank=False, save_features=False, **kwargs):
+        """(reference: engine.py:127-253)"""
+        if max_epoch:
+            self.max_epoch = max_epoch
+            self.engine_state.max_epoch = max_epoch
+        self.engine_state.run_started()
+        if test_only:
+            result = self.test(self.epoch, dist_metric=dist_metric,
+                               normalize_feature=normalize_feature,
+                               visrank=visrank, visrank_topk=visrank_topk,
+                               visrank_q_idx_list=visrank_q_idx_list or [],
+                               visrank_count=visrank_count, save_dir=save_dir,
+                               use_metric_cuhk03=use_metric_cuhk03,
+                               ranks=ranks, rerank=rerank,
+                               save_features=save_features)
+            self.engine_state.run_completed()
+            return result
+
+        print('=> Start training')
+        self.engine_state.training_started()
+        time_start = time.time()
+        best_rank1 = -1.0
+        for epoch in range(self.start_epoch, self.max_epoch):
+            self.epoch = epoch
+            freeze = epoch < fixbase_epoch and open_layers
+            self.set_freeze_base(bool(freeze))
+            self.update_lr(epoch)
+            self.train(epoch, print_freq=print_freq)
+            if (eval_freq > 0 and (epoch + 1) % eval_freq == 0
+                    and (epoch + 1) != self.max_epoch
+                    and (epoch + 1) >= start_eval):
+                cmc, mAP, ssmd, pxl_acc = self.test(
+                    epoch, dist_metric=dist_metric,
+                    normalize_feature=normalize_feature, save_dir=save_dir,
+                    use_metric_cuhk03=use_metric_cuhk03, ranks=ranks)
+                is_best = cmc[0] > best_rank1
+                best_rank1 = max(best_rank1, cmc[0])
+                self.save_model(epoch, save_dir, cmc=cmc, mAP=mAP, ssmd=ssmd,
+                                is_best=is_best)
+        self.engine_state.training_completed()
+
+        cmc, mAP, ssmd, pxl_acc = (np.zeros(max(ranks)), 0.0, 0.0, 0.0)
+        if self.max_epoch > 0:
+            print('=> Final test')
+            cmc, mAP, ssmd, pxl_acc = self.test(
+                self.epoch, dist_metric=dist_metric,
+                normalize_feature=normalize_feature, visrank=visrank,
+                visrank_topk=visrank_topk,
+                visrank_q_idx_list=visrank_q_idx_list or [],
+                visrank_count=visrank_count, save_dir=save_dir,
+                use_metric_cuhk03=use_metric_cuhk03, ranks=ranks,
+                rerank=rerank, save_features=save_features)
+            self.save_model(self.epoch, save_dir, cmc=cmc, mAP=mAP, ssmd=ssmd,
+                            is_best=cmc[0] > best_rank1)
+
+        elapsed = time.time() - time_start
+        print('Elapsed {:.0f}s'.format(elapsed))
+        if self.writer is not None:
+            self.writer.report_performance(cmc, mAP, ssmd, pxl_acc)
+            self.writer.run_completed()
+        self.engine_state.run_completed()
+        return cmc, mAP, ssmd, pxl_acc
+
+    def train(self, epoch, print_freq=10):
+        """One epoch over the train loader (reference: engine.py:255-277)."""
+        losses = MetricsSummary()
+        batch_time = TimeMeter()
+        data_time = TimeMeter()
+        self.engine_state.epoch_started()
+        num_batches = len(self.datamanager.train_loader)
+        end = time.perf_counter()
+        for batch_idx, batch in enumerate(self.datamanager.train_loader):
+            data_time.meter.update(time.perf_counter() - end)
+            self.engine_state.batch_started()
+            loss, loss_summary = self.forward_backward(batch)
+            losses.update(loss_summary)
+            batch_time.meter.update(time.perf_counter() - end)
+            end = time.perf_counter()
+            self.engine_state.batch_completed()
+            if print_freq > 0 and (batch_idx + 1) % print_freq == 0:
+                print('epoch: [{}/{}][{}/{}] time {:.3f} data {:.3f} '
+                      'loss {:.4f} | {}'.format(
+                          epoch + 1, self.max_epoch, batch_idx + 1,
+                          num_batches, batch_time.meter.avg,
+                          data_time.meter.avg, float(loss),
+                          losses.summary_str()))
+        self.engine_state.epoch_completed()
+        return losses
+
+    def test(self, epoch, dist_metric='euclidean', normalize_feature=False,
+             visrank=False, visrank_topk=10, visrank_q_idx_list=None,
+             visrank_count=10, save_dir='', use_metric_cuhk03=False,
+             ranks=(1, 5, 10, 20), rerank=False, save_features=False,
+             **kwargs):
+        """Evaluate on every target dataset (reference: engine.py:282-386)."""
+        self.engine_state.test_started()
+        targets = list(self.datamanager.test_loader.keys())
+        last = (np.zeros(max(ranks)), 0.0, 0.0, 0.0)
+        for name in targets:
+            domain = 'source' if name in self.datamanager.sources else 'target'
+            print('##### Evaluating {} ({}) #####'.format(name, domain))
+            query_loader = self.datamanager.test_loader[name]['query']
+            gallery_loader = self.datamanager.test_loader[name]['gallery']
+            cmc, mAP, ssmd, pxl_acc = self._evaluate(
+                epoch, dataset_name=name, query_loader=query_loader,
+                gallery_loader=gallery_loader, dist_metric=dist_metric,
+                normalize_feature=normalize_feature, visrank=visrank,
+                visrank_topk=visrank_topk,
+                visrank_q_idx_list=visrank_q_idx_list or [],
+                visrank_count=visrank_count, save_dir=save_dir,
+                use_metric_cuhk03=use_metric_cuhk03, ranks=ranks,
+                rerank=rerank, save_features=save_features)
+            last = (cmc, mAP, ssmd, pxl_acc)
+        self.engine_state.test_completed()
+        return last
+
+    @staticmethod
+    def normalize(features, axis=-1):
+        n = np.linalg.norm(np.asarray(features), axis=axis, keepdims=True)
+        return np.asarray(features) / np.maximum(n, 1e-12)

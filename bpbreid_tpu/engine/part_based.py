@@ -1,0 +1,358 @@
+"""Part-based image engine: the jitted TPU train/eval compute path.
+
+Rebuild of the reference ImagePartBasedEngine
+(reference: torchreid/engine/image/part_based_engine.py:22-388) as two
+compiled XLA programs:
+
+- ``train_step``: device-side augmentation + mask chain -> model forward
+  (train mode, mutable BN stats) -> GiLt + body-part-attention losses ->
+  grads -> optax update. One fused program per epoch phase (frozen /
+  unfrozen base), donated state.
+- ``eval_step``: preprocess -> forward (eval) -> configured test
+  embedding streams concatenated to ``[N, P+2, D]`` + visibility.
+
+Evaluation then computes the visibility-weighted part distance and
+CMC/mAP through bpbreid_tpu.metrics.
+"""
+import os.path as osp
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from bpbreid_tpu import metrics
+from bpbreid_tpu.constants import PARTS, PIXELS, bn_correspondants
+from bpbreid_tpu.data.augment import eval_preprocess, train_augment
+from bpbreid_tpu.engine.engine import Engine
+from bpbreid_tpu.losses.bpa import BodyPartAttentionLoss
+from bpbreid_tpu.losses.gilt import GiLtLoss
+from bpbreid_tpu.metrics.distance import compute_distance_matrix_using_bp_features
+from bpbreid_tpu.ops.resize import resize_bilinear_align_corners
+from bpbreid_tpu.utils.distribution import plot_pairs_distance_distribution
+from bpbreid_tpu.utils.checkpoint import save_checkpoint
+
+__all__ = ['ImagePartBasedEngine', 'TrainState']
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def variables(self):
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+
+class ImagePartBasedEngine(Engine):
+    def __init__(self, config, datamanager, model, optimizer, writer=None,
+                 engine_state=None, lr_schedule=None, scheduler=None,
+                 use_gpu=False, save_model_flag=False, margin=0.3,
+                 loss_name='part_averaged_triplet_loss',
+                 mask_filtering_training=False, mask_filtering_testing=True,
+                 dist_combine_strat='mean', batch_size_pairwise_dist_matrix=500,
+                 detailed_ranking=False, seed=0):
+        super().__init__(config, datamanager, writer=writer,
+                         engine_state=engine_state)
+        self.model = model
+        self.optimizer = optimizer
+        self.lr_schedule = lr_schedule or scheduler
+        self.save_model_flag = save_model_flag
+        self.mask_filtering_training = mask_filtering_training
+        self.mask_filtering_testing = mask_filtering_testing
+        self.dist_combine_strat = dist_combine_strat
+        self.batch_size_pairwise_dist_matrix = batch_size_pairwise_dist_matrix
+        self.detailed_ranking = detailed_ranking
+        self.parts_num = config.model.bpbreid.masks.parts_num
+        self.test_embeddings = list(config.model.bpbreid.test_embeddings)
+        self.losses_weights = config.loss.part_based.weights
+
+        self.GiLt = GiLtLoss(self.losses_weights,
+                             use_visibility_scores=mask_filtering_training,
+                             triplet_margin=margin, loss_name=loss_name,
+                             writer=writer)
+        self.body_part_attention_loss = BodyPartAttentionLoss(
+            loss_type=config.loss.part_based.ppl)
+
+        self._rng = jax.random.PRNGKey(config.train.seed)
+        self._freeze_base = False
+        self.open_layers = list(config.train.open_layers or [])
+        self.mask_kwargs = datamanager.mask_chain_kwargs() \
+            if hasattr(datamanager, 'mask_chain_kwargs') else None
+        self.transforms = list(datamanager.transforms)
+        self.norm_mean = tuple(datamanager.norm_mean)
+        self.norm_std = tuple(datamanager.norm_std)
+        self.state = None
+
+        self._train_step = jax.jit(self._train_step_impl,
+                                   static_argnames=('freeze_base',),
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    # state init / checkpointing
+    # ------------------------------------------------------------------
+    def init_state(self, rng=None, height=None, width=None):
+        h = height or self.config.data.height
+        w = width or self.config.data.width
+        rng = rng if rng is not None else jax.random.PRNGKey(
+            self.config.train.seed)
+        dummy = jnp.zeros((2, h, w, 3), jnp.float32)
+        dummy_masks = jnp.full((2, h // 4, w // 4, self.parts_num + 1),
+                               1.0 / (self.parts_num + 1), jnp.float32)
+        variables = self.model.init(rng, dummy, dummy_masks, train=False)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(params=params, batch_stats=batch_stats,
+                                opt_state=opt_state,
+                                step=jnp.zeros((), jnp.int32))
+        return self.state
+
+    def load_variables(self, variables):
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        if self.state is None:
+            self.state = TrainState(params=params, batch_stats=batch_stats,
+                                    opt_state=self.optimizer.init(params),
+                                    step=jnp.zeros((), jnp.int32))
+        else:
+            self.state = self.state.replace(params=params,
+                                            batch_stats=batch_stats)
+        return self.state
+
+    def save_model(self, epoch, save_dir, cmc=None, mAP=None, ssmd=None,
+                   is_best=False):
+        if not self.save_model_flag or self.state is None:
+            return
+        save_checkpoint(
+            {'state': self.state, 'epoch': epoch,
+             'rank1': float(cmc[0]) if cmc is not None else None,
+             'mAP': float(mAP) if mAP is not None else None,
+             'ssmd': float(ssmd) if ssmd is not None else None,
+             'config': self.config.to_dict()},
+            save_dir, job_id=self.config.project.job_id, epoch=epoch,
+            is_best=is_best)
+
+    def set_freeze_base(self, freeze):
+        self._freeze_base = bool(freeze)
+
+    def apply_lr(self, lr):
+        if self.state is not None and self.lr_schedule is not None:
+            self.lr_schedule.set_in_opt_state(self.state.opt_state, self.epoch)
+
+    # ------------------------------------------------------------------
+    # compiled steps
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, imgs, masks, pids, rng):
+        outputs, new_model_state = self.model.apply(
+            {'params': params, 'batch_stats': batch_stats}, imgs, masks,
+            train=True, mutable=['batch_stats'],
+            rngs={'dropout': rng})
+        (embeddings, visibility, id_cls_scores, pixels_cls_scores,
+         _spatial, _masks) = outputs
+        loss, loss_summary = self.GiLt(embeddings, visibility, id_cls_scores,
+                                       pids, rng=rng)
+        bpa_w = float(self.losses_weights[PIXELS]['ce'])
+        if pixels_cls_scores is not None and masks is not None and bpa_w > 0:
+            hf, wf = pixels_cls_scores.shape[1:3]
+            # bilinear align_corners target resize + argmax part labels
+            # (reference: part_based_engine.py:118-126)
+            target = resize_bilinear_align_corners(masks, hf, wf)
+            target_idx = jnp.argmax(target, axis=-1)
+            bpa_loss, bpa_summary = self.body_part_attention_loss(
+                pixels_cls_scores, target_idx)
+            loss = loss + bpa_w * bpa_loss
+            loss_summary = {**loss_summary, **bpa_summary}
+        return loss, (new_model_state.get('batch_stats', batch_stats),
+                      loss_summary)
+
+    def _train_step_impl(self, state, imgs_u8, raw_masks, pids, rng,
+                         freeze_base=False):
+        aug_rng, model_rng = jax.random.split(rng)
+        imgs, masks = train_augment(
+            imgs_u8, raw_masks, aug_rng, transforms=tuple(self.transforms),
+            norm_mean=self.norm_mean, norm_std=self.norm_std,
+            cj_brightness=self.config.data.cj.brightness,
+            cj_contrast=self.config.data.cj.contrast,
+            cj_p=self.config.data.cj.p,
+            mask_kwargs=self.mask_kwargs)
+        (loss, (new_batch_stats, loss_summary)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                         imgs, masks, pids, model_rng)
+        if freeze_base:
+            open_layers = self.open_layers
+
+            def mask_grad(path, g):
+                p = '/'.join(str(getattr(x, 'key', x)) for x in path)
+                keep = any(ol in p for ol in open_layers)
+                return g if keep else jnp.zeros_like(g)
+
+            grads = jax.tree_util.tree_map_with_path(mask_grad, grads)
+        updates, new_opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(params=new_params,
+                                  batch_stats=new_batch_stats,
+                                  opt_state=new_opt_state,
+                                  step=state.step + 1)
+        return new_state, loss, loss_summary
+
+    def _eval_step_impl(self, params, batch_stats, imgs_u8, raw_masks):
+        imgs, masks = eval_preprocess(imgs_u8, raw_masks,
+                                      norm_mean=self.norm_mean,
+                                      norm_std=self.norm_std,
+                                      mask_kwargs=self.mask_kwargs)
+        outputs = self.model.apply(
+            {'params': params, 'batch_stats': batch_stats}, imgs, masks,
+            train=False)
+        features, visibility, parts_masks, pixels_cls_scores = \
+            self.extract_test_embeddings(outputs)
+        return features, visibility, parts_masks, pixels_cls_scores, masks
+
+    def extract_test_embeddings(self, model_output):
+        """Concatenate the configured embedding streams to [N, P+2, D]
+        (reference: part_based_engine.py:365-387)."""
+        (embeddings, visibility_scores, _id_cls, pixels_cls_scores,
+         _spatial, masks) = model_output
+        emb_list, vis_list, mask_list = [], [], []
+        for key in self.test_embeddings:
+            e = embeddings[key]
+            emb_list.append(e if e.ndim == 3 else e[:, None, :])
+            raw = bn_correspondants.get(key, key)
+            v = visibility_scores[raw]
+            vis_list.append(v if v.ndim == 2 else v[:, None])
+            m = masks[raw]
+            mask_list.append(m if m.ndim == 4 else m[..., None])
+        features = jnp.concatenate(emb_list, axis=1)
+        visibility = jnp.concatenate(
+            [v.astype(jnp.float32) for v in vis_list], axis=1)
+        emb_masks = jnp.concatenate(mask_list, axis=-1)
+        return features, visibility, emb_masks, pixels_cls_scores
+
+    # ------------------------------------------------------------------
+    # host control flow
+    # ------------------------------------------------------------------
+    def forward_backward(self, batch):
+        if self.state is None:
+            self.init_state()
+        self._rng, rng = jax.random.split(self._rng)
+        masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
+        self.state, loss, loss_summary = self._train_step(
+            self.state, jnp.asarray(batch['image']), masks,
+            jnp.asarray(batch['pid']), rng, freeze_base=self._freeze_base)
+        summary = jax.tree_util.tree_map(float, loss_summary)
+        return float(loss), summary
+
+    def _feature_extraction(self, loader):
+        f_, vis_, pids_, camids_ = [], [], [], []
+        for batch in loader:
+            masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
+            feats, vis, _masks, _pxl, _m = self._eval_step(
+                self.state.params, self.state.batch_stats,
+                jnp.asarray(batch['image']), masks)
+            valid = batch['valid']
+            f_.append(np.asarray(feats)[valid])
+            vis_.append(np.asarray(vis)[valid])
+            pids_.append(batch['pid'][valid])
+            camids_.append(batch['camid'][valid])
+        return (np.concatenate(f_), np.concatenate(vis_),
+                np.concatenate(pids_), np.concatenate(camids_))
+
+    def _evaluate(self, epoch, dataset_name='', query_loader=None,
+                  gallery_loader=None, dist_metric='euclidean',
+                  normalize_feature=False, visrank=False, visrank_topk=10,
+                  visrank_q_idx_list=None, visrank_count=10, save_dir='',
+                  use_metric_cuhk03=False, ranks=(1, 5, 10, 20), rerank=False,
+                  save_features=False, **kwargs):
+        if self.state is None:
+            self.init_state()
+        print('Extracting features from query set ...')
+        qf, q_vis, q_pids, q_camids = self._feature_extraction(query_loader)
+        print('Done, obtained {} tensor'.format(qf.shape))
+        print('Extracting features from gallery set ...')
+        gf, g_vis, g_pids, g_camids = self._feature_extraction(gallery_loader)
+        print('Done, obtained {} tensor'.format(gf.shape))
+
+        if normalize_feature:
+            qf = self.normalize(qf)
+            gf = self.normalize(gf)
+        q_vis_arr = q_vis if self.mask_filtering_testing else None
+        g_vis_arr = g_vis if self.mask_filtering_testing else None
+        if q_vis_arr is not None \
+                and self.config.model.bpbreid.testing_binary_visibility_score:
+            q_vis_arr = q_vis_arr.astype(bool)
+            g_vis_arr = g_vis_arr.astype(bool)
+        distmat, body_parts_distmat = compute_distance_matrix_using_bp_features(
+            qf, gf, q_vis_arr, g_vis_arr, self.dist_combine_strat,
+            self.batch_size_pairwise_dist_matrix, metric=dist_metric)
+        distmat = np.asarray(distmat)
+        body_parts_distmat = np.asarray(body_parts_distmat)
+
+        if rerank:
+            from bpbreid_tpu.utils.rerank import re_ranking
+            d_qq, _ = compute_distance_matrix_using_bp_features(
+                qf, qf, q_vis_arr, q_vis_arr, self.dist_combine_strat,
+                self.batch_size_pairwise_dist_matrix, metric=dist_metric)
+            d_gg, _ = compute_distance_matrix_using_bp_features(
+                gf, gf, g_vis_arr, g_vis_arr, self.dist_combine_strat,
+                self.batch_size_pairwise_dist_matrix, metric=dist_metric)
+            distmat = re_ranking(distmat, np.asarray(d_qq), np.asarray(d_gg))
+
+        eval_metric = getattr(
+            self.datamanager.test_dataset[dataset_name]['query'],
+            'eval_metric', 'default') if hasattr(self.datamanager,
+                                                 'test_dataset') else 'default'
+        if use_metric_cuhk03:
+            eval_metric = 'cuhk03'
+        print('Computing CMC and mAP ...')
+        eval_metrics = metrics.evaluate_rank(distmat, q_pids, g_pids,
+                                             q_camids, g_camids,
+                                             eval_metric=eval_metric)
+        mAP = eval_metrics['mAP']
+        cmc = eval_metrics['cmc']
+        print('** Results **')
+        print('mAP: {:.2%}'.format(mAP))
+        print('CMC curve')
+        for r in ranks:
+            print('Rank-{:<3}: {:.2%}'.format(r, cmc[r - 1]))
+
+        if self.detailed_ranking:
+            self.display_individual_parts_ranking_performances(
+                body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,
+                q_pids, eval_metric)
+
+        pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
+            distmat, q_pids, g_pids, 'Query-gallery')
+        print('SSMD = {:.4f}'.format(ssmd))
+
+        if self.writer is not None:
+            self.writer.report_eval(dataset_name, cmc, mAP, ssmd)
+        return cmc, mAP, ssmd, 0.0
+
+    def display_individual_parts_ranking_performances(
+            self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,
+            q_pids, eval_metric):
+        """Per-part ranking table (reference: part_based_engine.py:308-339)."""
+        print('Parts embeddings individual rankings :')
+        from bpbreid_tpu.constants import get_test_embeddings_names
+        names = get_test_embeddings_names(
+            self.config.model.bpbreid.masks.parts_names, self.test_embeddings)
+        rows = []
+        for p in range(body_parts_distmat.shape[0]):
+            try:
+                perf = metrics.evaluate_rank(
+                    body_parts_distmat[p], q_pids, g_pids, q_camids, g_camids,
+                    eval_metric=eval_metric)
+                name = names[p] if p < len(names) else 'p{}'.format(p)
+                rows.append((name, perf['mAP'] * 100, perf['cmc'][0] * 100))
+            except (AssertionError, RuntimeError):
+                continue
+        print('{:<20} {:>8} {:>8}'.format('embedding', 'mAP', 'R-1'))
+        for name, m, r1 in rows:
+            print('{:<20} {:>8.2f} {:>8.2f}'.format(name, m, r1))
+        return rows

@@ -133,14 +133,15 @@ class BPBreID(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        factory = model_registry.__dict__  # resolved below via build_model
-        self.backbone_net = model_registry.build_model(
+        # attribute name == torch state_dict prefix (flax scopes by
+        # attribute name for modules assigned in setup)
+        self.backbone_appearance_feature_extractor = model_registry.build_model(
             self.backbone, self.num_classes, loss='part_based',
             pretrained=False, last_stride=self.last_stride,
             enable_dim_reduction=(self.dim_reduce == 'before_pooling'),
             dim_reduction_channels=self.dim_reduce_output,
-            dtype=self.dtype, name='backbone_appearance_feature_extractor')
-        spatial_dim = self.backbone_net.feature_dim
+            dtype=self.dtype)
+        spatial_dim = self.backbone_appearance_feature_extractor.feature_dim
 
         self.use_before_reduce = (
             self.dim_reduce in ('before_pooling', 'before_and_after_pooling')
@@ -196,7 +197,8 @@ class BPBreID(nn.Module):
 
     def __call__(self, images, external_parts_masks=None, train: bool = False):
         K = self.parts_num
-        spatial_features = self.backbone_net(images, train=train)  # [N,Hf,Wf,D]
+        spatial_features = self.backbone_appearance_feature_extractor(
+            images, train=train)                           # [N,Hf,Wf,D]
         if self.use_before_reduce:
             spatial_features = self.before_pooling_dim_reduce(
                 spatial_features, train=train)

@@ -1,0 +1,111 @@
+"""Gallery-sharded retrieval: distance matrix + ranking over a device
+mesh.
+
+The retrieval workload (up to 500k gallery images with the Market-1501
+distractor set) is this framework's long axis. Design: shard the gallery
+features ``[Ng, K, D]`` and visibility ``[Ng, K]`` over the data mesh;
+every device computes its ``[K, Nq, Ng/d]`` block of the part-distance
+tensor locally (one batched matmul on the MXU); the combined
+``[Nq, Ng]`` matrix stays sharded over columns; ranking statistics then
+need only a per-query argsort which XLA runs as a sharded sort +
+gather. Queries are replicated (Nq << Ng).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bpbreid_tpu.metrics.distance import _bp_dist_block
+from bpbreid_tpu.ops.ranking import cmc_map
+from bpbreid_tpu.ops.tensortools import replace_values
+from bpbreid_tpu.parallel.mesh import DATA_AXIS
+
+__all__ = ['sharded_bp_distance', 'sharded_cmc_map', 'pad_to_multiple']
+
+
+def pad_to_multiple(x, multiple, axis=0, value=0.0):
+    """Pad ``x`` along ``axis`` to a multiple; returns (padded, n_orig)."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(np.asarray(x), widths, constant_values=value), n
+
+
+def sharded_bp_distance(mesh, qf, gf, qf_vis=None, gf_vis=None,
+                        dist_combine_strat='mean', metric='euclidean'):
+    """Visibility-weighted part distance with the gallery axis sharded.
+
+    Args:
+        mesh: 1-D data mesh.
+        qf: ``[Nq, K, D]`` (replicated).
+        gf: ``[Ng, K, D]`` — padded to a multiple of mesh size.
+    Returns:
+        (pairwise [Nq, Ng_pad] numpy, part_pairwise [K, Nq, Ng_pad] numpy,
+         n_gallery) — strip padding with ``[..., :n_gallery]``.
+    """
+    nd = mesh.devices.size
+    gf_p, ng = pad_to_multiple(np.asarray(gf), nd, axis=0)
+    has_vis = qf_vis is not None and gf_vis is not None
+    if has_vis:
+        gf_vis_p, _ = pad_to_multiple(np.asarray(gf_vis), nd, axis=0)
+
+    repl = NamedSharding(mesh, P())
+    g_shard = NamedSharding(mesh, P(DATA_AXIS))
+
+    @partial(jax.jit,
+             in_shardings=(repl, g_shard, repl, g_shard) if has_vis
+             else (repl, g_shard),
+             out_shardings=(NamedSharding(mesh, P(None, DATA_AXIS)),
+                            NamedSharding(mesh, P(None, None, DATA_AXIS))))
+    def compute(*args):
+        if has_vis:
+            qf_, gf_, qv_, gv_ = args
+        else:
+            qf_, gf_ = args
+            qv_ = gv_ = None
+        pairwise, part_pairwise = _bp_dist_block(
+            qf_, gf_, qv_, gv_, dist_combine_strat, metric)
+        return pairwise, part_pairwise
+
+    if has_vis:
+        pairwise, part_pairwise = compute(
+            jnp.asarray(qf), jnp.asarray(gf_p), jnp.asarray(qf_vis),
+            jnp.asarray(gf_vis_p))
+    else:
+        pairwise, part_pairwise = compute(jnp.asarray(qf), jnp.asarray(gf_p))
+
+    if has_vis:
+        max_value = part_pairwise.max() + 1.0
+        pairwise = replace_values(pairwise, pairwise == -1.0, max_value)
+        if np.asarray(qf_vis).dtype == bool:
+            part_pairwise = replace_values(part_pairwise,
+                                           part_pairwise == -1.0, max_value)
+    return pairwise, part_pairwise, ng
+
+
+def sharded_cmc_map(mesh, distmat, q_pids, g_pids, q_camids, g_camids,
+                    n_gallery=None, max_rank=50):
+    """CMC/mAP with the distance matrix sharded over gallery columns.
+
+    Padding columns (beyond ``n_gallery``) are pushed to +inf so they
+    rank last and never match.
+    """
+    distmat = jnp.asarray(distmat)
+    ng_pad = distmat.shape[1]
+    n_gallery = n_gallery or ng_pad
+    if len(g_pids) < ng_pad:
+        pad = ng_pad - len(g_pids)
+        g_pids = np.concatenate([np.asarray(g_pids), -np.ones(pad, np.int64)])
+        g_camids = np.concatenate([np.asarray(g_camids),
+                                   -np.ones(pad, np.int64)])
+        col = jnp.arange(ng_pad) >= n_gallery
+        distmat = jnp.where(col[None, :], jnp.inf, distmat)
+    cmc, mAP, n_valid = cmc_map(distmat, jnp.asarray(q_pids),
+                                jnp.asarray(g_pids), jnp.asarray(q_camids),
+                                jnp.asarray(g_camids), max_rank=max_rank)
+    return np.asarray(cmc), float(mAP), int(n_valid)

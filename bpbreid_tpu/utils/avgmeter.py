@@ -1,0 +1,76 @@
+"""Meters (reference: torchreid/utils/avgmeter.py).
+
+``TimeMeter`` replaces the reference's CUDA-event timing
+(TorchTimeMeter, avgmeter.py:240-283) with host wall-clock around
+blocked device work — on TPU the jitted step is dispatched
+asynchronously, so timed sections must call ``block_until_ready`` on
+their outputs for the numbers to mean anything (the engine does).
+"""
+import time
+from collections import defaultdict
+
+__all__ = ['AverageMeter', 'MetricsSummary', 'TimeMeter']
+
+
+class AverageMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n=1):
+        val = float(val)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+
+class MetricsSummary:
+    """Nested dict of AverageMeters keyed by (group, name)."""
+
+    def __init__(self):
+        self.meters = defaultdict(lambda: defaultdict(AverageMeter))
+
+    def update(self, summary, n=1):
+        for group, metrics in summary.items():
+            for name, value in metrics.items():
+                self.meters[group][name].update(value, n)
+
+    def summary_str(self):
+        parts = []
+        for group in self.meters:
+            inner = ' '.join('{} {:.3f}'.format(k, m.avg)
+                             for k, m in self.meters[group].items())
+            parts.append('{}: [{}]'.format(group, inner))
+        return ' | '.join(parts)
+
+    def avg(self, group, name):
+        return self.meters[group][name].avg
+
+
+class TimeMeter:
+    def __init__(self, name=''):
+        self.name = name
+        self.meter = AverageMeter()
+        self._start = None
+        self.total = 0.0
+
+    def start(self):
+        self._start = time.perf_counter()
+
+    def stop(self):
+        if self._start is None:
+            return
+        dt = time.perf_counter() - self._start
+        self.meter.update(dt)
+        self.total += dt
+        self._start = None
+
+    @property
+    def avg(self):
+        return self.meter.avg

@@ -1,0 +1,100 @@
+"""Writer: domain-metrics hub listening to EngineState
+(reference: torchreid/utils/writer.py:17-430).
+
+Collects loss summaries, invalid-pair statistics, per-part usage and
+phase timings; final timing-table report mirrors writer.py:373-391.
+Backend fan-out goes through Logger (utils/logging.py).
+"""
+import numpy as np
+
+from bpbreid_tpu.utils.avgmeter import AverageMeter, MetricsSummary, TimeMeter
+from bpbreid_tpu.utils.engine_state import EngineState, EngineStateListener
+
+__all__ = ['Writer']
+
+
+class Writer(EngineStateListener):
+    _current = None
+
+    def __init__(self, config=None, logger=None):
+        self.cfg = config
+        self.logger = logger
+        self.losses = MetricsSummary()
+        self.invalid_pairs_meter = AverageMeter()
+        self.used_parts = None
+        # phase timers (reference: writer.py:43-52)
+        self.total_run_timer = TimeMeter('total run')
+        self.epoch_timer = TimeMeter('epoch')
+        self.batch_timer = TimeMeter('batch')
+        self.data_loading_timer = TimeMeter('data loading')
+        self.test_batch_timer = TimeMeter('test batch')
+        self.feature_extraction_timer = TimeMeter('feature extraction')
+        self.loss_timer = TimeMeter('loss')
+        self.optimizer_timer = TimeMeter('optimizer step')
+        self.performance_evaluation_timer = TimeMeter('performance evaluation')
+        self.eval_results = {}
+        state = EngineState.current_engine_state()
+        if state is not None:
+            state.add_listener(self)
+        Writer._current = self
+
+    @classmethod
+    def current_writer(cls):
+        return cls._current
+
+    # ------------------------------------------------------------------
+    def update_invalid_pairwise_distances_count(self, pairwise_dist):
+        try:
+            arr = np.asarray(pairwise_dist)
+            self.invalid_pairs_meter.update(float((arr == -1).mean()))
+        except Exception:
+            pass
+
+    def update_invalid_part_based_pairwise_distances_count(self, mask):
+        try:
+            arr = np.asarray(mask)
+            self.invalid_pairs_meter.update(float((arr == 0).mean()))
+        except Exception:
+            pass
+
+    def used_parts_statistics(self, parts_count, part_id):
+        pass
+
+    def qg_pairwise_dist_statistics(self, pairwise_dist, bp_dist, q_vis, g_vis):
+        pass
+
+    # ------------------------------------------------------------------
+    def report_eval(self, dataset_name, cmc, mAP, ssmd):
+        self.eval_results[dataset_name] = {
+            'r1': float(cmc[0]), 'mAP': float(mAP), 'ssmd': float(ssmd)}
+        if self.logger is not None:
+            self.logger.add_scalar('Test/{}/rank1'.format(dataset_name),
+                                   float(cmc[0]))
+            self.logger.add_scalar('Test/{}/mAP'.format(dataset_name),
+                                   float(mAP))
+
+    def report_performance(self, cmc, mAP, ssmd, pxl_acc):
+        print('** Final performance: r1 {:.2%}, mAP {:.2%}, ssmd {:.3f} **'
+              .format(float(cmc[0]), float(mAP), float(ssmd)))
+
+    def report_global_step(self, loss_summary, lr):
+        if self.logger is not None:
+            for group, metrics in loss_summary.items():
+                for k, v in metrics.items():
+                    self.logger.add_scalar(
+                        'Train/{}_{}'.format(group, k), float(v))
+            self.logger.add_scalar('Train/lr', float(lr))
+
+    # ------------------------------------------------------------------
+    def run_completed(self):
+        timers = [self.total_run_timer, self.epoch_timer, self.batch_timer,
+                  self.data_loading_timer, self.test_batch_timer,
+                  self.feature_extraction_timer, self.loss_timer,
+                  self.optimizer_timer, self.performance_evaluation_timer]
+        print('\nPhase timing summary:')
+        print('{:<28} {:>10} {:>10} {:>8}'.format(
+            'phase', 'total(s)', 'avg(s)', 'count'))
+        for t in timers:
+            if t.meter.count:
+                print('{:<28} {:>10.2f} {:>10.4f} {:>8}'.format(
+                    t.name, t.total, t.avg, t.meter.count))

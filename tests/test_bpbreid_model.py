@@ -1,0 +1,206 @@
+"""BPBreID model: output contract, visibility semantics, and full-model
+parity with the reference implementation (loaded with a stubbed
+torchreid package so it runs standalone)."""
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bpbreid_tpu.constants import (
+    BACKGROUND, BN_FOREGROUND, BN_PARTS, CONCAT_PARTS, FOREGROUND, GLOBAL, PARTS,
+)
+
+
+def _make_model(parts_num=5, backbone='resnet18', **kw):
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    return BPBreID(num_classes=10, parts_num=parts_num, backbone=backbone,
+                   last_stride=1, dim_reduce='after_pooling',
+                   dim_reduce_output=64, **kw)
+
+
+def test_output_contract():
+    model = _make_model()
+    x = jnp.zeros((2, 64, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    emb, vis, cls, pix, feat, masks = model.apply(variables, x, train=False)
+    K, D, C = 5, 64, 10
+    assert emb[GLOBAL].shape == (2, D)
+    assert emb[FOREGROUND].shape == (2, D)
+    assert emb[BACKGROUND].shape == (2, D)
+    assert emb[CONCAT_PARTS].shape == (2, K * D)
+    assert emb[PARTS].shape == (2, K, D)
+    assert emb[BN_FOREGROUND].shape == (2, D)
+    assert emb[BN_PARTS].shape == (2, K, D)
+    assert vis[GLOBAL].shape == (2,)
+    assert vis[PARTS].shape == (2, K)
+    assert vis[PARTS].dtype == jnp.bool_     # binary visibility by default
+    assert cls[GLOBAL].shape == (2, C)
+    assert cls[PARTS].shape == (2, K, C)
+    assert pix.shape[0] == 2 and pix.shape[-1] == K + 1
+    assert masks[PARTS].shape[-1] == K
+
+
+def test_external_masks_mode():
+    model = _make_model(learnable_attention_enabled=False)
+    x = jnp.zeros((2, 64, 32, 3))
+    ext = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8, 6)) * 3, axis=-1)
+    variables = model.init(jax.random.PRNGKey(0), x, ext, train=False)
+    emb, vis, cls, pix, feat, masks = model.apply(variables, x, ext,
+                                                  train=False)
+    assert pix is None
+    assert emb[PARTS].shape == (2, 5, 64)
+
+
+def test_stripes_mode():
+    # 4 stripes on the 4-row feature map (64/16) so every stripe is nonempty
+    model = _make_model(parts_num=4, horizontal_stripes=True,
+                        learnable_attention_enabled=False)
+    x = jnp.zeros((2, 64, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    emb, vis, cls, pix, feat, masks = model.apply(variables, x, train=False)
+    # all stripe parts visible
+    assert bool(np.asarray(vis[PARTS]).all())
+
+
+def test_gwap_vs_gap_vs_gmp_pooling():
+    from bpbreid_tpu.ops.pooling import gap_pool, gmp_pool, gwap_pool
+    rng = np.random.default_rng(0)
+    f = jnp.asarray(rng.random((2, 8, 4, 16)).astype(np.float32))
+    m = jnp.asarray(rng.random((2, 8, 4, 3)).astype(np.float32))
+    gwap = np.asarray(gwap_pool(f, m))
+    gap = np.asarray(gap_pool(f, m))
+    gmp = np.asarray(gmp_pool(f, m))
+    assert gwap.shape == gap.shape == gmp.shape == (2, 3, 16)
+    # naive references
+    prod = np.asarray(f)[:, :, :, None, :] * np.asarray(m)[:, :, :, :, None]
+    np.testing.assert_allclose(
+        gwap, prod.sum((1, 2)) / np.asarray(m).sum((1, 2))[..., None],
+        atol=1e-5)
+    np.testing.assert_allclose(gap, prod.mean((1, 2)), atol=1e-5)
+    np.testing.assert_allclose(gmp, prod.max((1, 2)), atol=1e-5)
+
+
+def _install_torchreid_stub():
+    """Fabricate the minimal torchreid package surface the reference
+    bpbreid.py imports, backed by the standalone reference resnet."""
+    if 'torchreid' in sys.modules:
+        return
+    spec = importlib.util.spec_from_file_location(
+        'ref_resnet_for_bpbreid', '/root/reference/torchreid/models/resnet.py')
+    ref_resnet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_resnet)
+
+    torchreid = types.ModuleType('torchreid')
+    models_mod = types.ModuleType('torchreid.models')
+
+    def build_model(name, num_classes, loss='softmax', pretrained=False,
+                    **kwargs):
+        fn = getattr(ref_resnet, name)
+        import inspect
+        sig = inspect.signature(ref_resnet.ResNet.__init__)
+        allowed = set(sig.parameters)
+        extra = {k: v for k, v in kwargs.items() if k in allowed}
+        model = fn(num_classes=num_classes, loss=loss, pretrained=False,
+                   **extra)
+        model.feature_dim = 512 * (4 if name in (
+            'resnet50', 'resnet101', 'resnet152') else 1)
+        return model
+
+    models_mod.build_model = build_model
+    constants = types.ModuleType('torchreid.utils.constants')
+    import bpbreid_tpu.constants as my_constants
+    for k in dir(my_constants):
+        if not k.startswith('_'):
+            setattr(constants, k, getattr(my_constants, k))
+    utils_mod = types.ModuleType('torchreid.utils')
+    utils_mod.constants = constants
+    torchreid.models = models_mod
+    torchreid.utils = utils_mod
+    sys.modules['torchreid'] = torchreid
+    sys.modules['torchreid.models'] = models_mod
+    sys.modules['torchreid.utils'] = utils_mod
+    sys.modules['torchreid.utils.constants'] = constants
+
+
+class _AttrDict(dict):
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+    __setattr__ = dict.__setitem__
+
+
+def test_full_bpbreid_parity_with_reference():
+    """End-to-end head parity: same weights, same input, eval mode."""
+    import torch
+    _install_torchreid_stub()
+    spec = importlib.util.spec_from_file_location(
+        'ref_bpbreid', '/root/reference/torchreid/models/bpbreid.py')
+    ref_bpbreid = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_bpbreid)
+
+    model_cfg = _AttrDict(
+        masks=_AttrDict(parts_num=4),
+        shared_parts_id_classifier=False,
+        test_use_target_segmentation='none',
+        training_binary_visibility_score=True,
+        testing_binary_visibility_score=True,
+        backbone='resnet50',
+        last_stride=1,
+        dim_reduce='after_pooling',
+        dim_reduce_output=64,
+        hrnet_pretrained_path='',
+        normalization='identity',
+        pooling='gwap',
+        learnable_attention_enabled=True,
+    )
+    torch.manual_seed(0)
+    ref = ref_bpbreid.BPBreID(num_classes=10, pretrained=False,
+                              loss='part_based', model_cfg=model_cfg)
+    # randomize BN stats like the backbone test
+    g = torch.Generator().manual_seed(1)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.copy_(
+                torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(
+                torch.rand(m.running_var.shape, generator=g) + 0.5)
+    ref.eval()
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 64, 32)).astype(np.float32)
+    with torch.no_grad():
+        r_emb, r_vis, r_cls, r_pix, r_feat, r_masks = ref(torch.from_numpy(x))
+
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.utils.torch_weights import torch_to_flax
+    model = BPBreID(num_classes=10, parts_num=4, backbone='resnet50',
+                    last_stride=1, dim_reduce='after_pooling',
+                    dim_reduce_output=64)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
+                           train=False)
+    new_vars, matched, discarded = torch_to_flax(ref.state_dict(), variables)
+    assert not discarded, discarded[:10]
+
+    emb, vis, cls, pix, feat, masks = model.apply(
+        new_vars, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+
+    np.testing.assert_allclose(np.asarray(pix).transpose(0, 3, 1, 2),
+                               r_pix.numpy(), atol=5e-3, rtol=1e-3)
+    for key in (GLOBAL, FOREGROUND, BACKGROUND, CONCAT_PARTS, PARTS):
+        np.testing.assert_allclose(
+            np.asarray(emb[key]), r_emb[key].numpy(), atol=5e-3, rtol=5e-3,
+            err_msg='embeddings[{}]'.format(key))
+        np.testing.assert_allclose(
+            np.asarray(vis[key]).astype(np.float32),
+            r_vis[key].numpy().astype(np.float32), atol=1e-5,
+            err_msg='visibility[{}]'.format(key))
+        np.testing.assert_allclose(
+            np.asarray(cls[key]), r_cls[key].numpy(), atol=5e-3, rtol=5e-3,
+            err_msg='cls[{}]'.format(key))

@@ -1,0 +1,110 @@
+"""End-to-end smoke: synthetic dataset -> BPBreID (resnet18) -> GiLt+BPA
+training for a few steps (loss decreases) -> part-based evaluation with
+visibility-weighted distance + CMC/mAP + checkpoint save/resume."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def setup():
+    import jax
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.data import ImageDataManager
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.engine import ImagePartBasedEngine
+    from bpbreid_tpu.optim import build_optimizer, build_lr_scheduler
+    from bpbreid_tpu.ops.masks import compute_parts_num_and_names
+    from bpbreid_tpu.utils.engine_state import EngineState
+    from bpbreid_tpu.utils.writer import Writer
+
+    clear_dataset_cache()
+    cfg = get_default_config()
+    cfg.data.height, cfg.data.width = 64, 32
+    cfg.data.sources = ['synthetic']
+    cfg.data.targets = ['synthetic']
+    cfg.data.transforms = ['rf', 'rc']
+    cfg.train.batch_size = 8
+    cfg.sampler.num_instances = 4
+    cfg.test.batch_size = 8
+    cfg.model.bpbreid.backbone = 'resnet18'
+    cfg.model.bpbreid.masks.preprocess = 'five_v'
+    cfg.model.bpbreid.dim_reduce_output = 64
+    compute_parts_num_and_names(cfg)
+    assert cfg.model.bpbreid.masks.parts_num == 5
+
+    dm = ImageDataManager(
+        config=cfg, root='', sources=cfg.data.sources,
+        targets=cfg.data.targets, height=64, width=32,
+        transforms=cfg.data.transforms, batch_size_train=8,
+        batch_size_test=8, workers=1, num_instances=4, use_masks=True,
+        masks_dir='pifpaf_maskrcnn_filtering')
+
+    model = BPBreID(num_classes=dm.num_train_pids, parts_num=5,
+                    backbone='resnet18', last_stride=1,
+                    dim_reduce='after_pooling', dim_reduce_output=64)
+    optimizer = build_optimizer(optim='adam', lr=3e-4)
+    schedule = build_lr_scheduler(lr=3e-4, lr_scheduler='warmup_multi_step',
+                                  stepsize=[40, 70], max_epoch=120)
+    engine_state = EngineState(0, 1)
+    writer = Writer(cfg)
+    engine = ImagePartBasedEngine(
+        cfg, dm, model, optimizer, writer=writer, engine_state=engine_state,
+        lr_schedule=schedule, mask_filtering_testing=True,
+        detailed_ranking=True)
+    engine.init_state()
+    return cfg, dm, engine
+
+
+def test_train_loss_decreases(setup):
+    cfg, dm, engine = setup
+    losses = []
+    for i, batch in enumerate(dm.train_loader):
+        loss, summary = engine.forward_backward(batch)
+        losses.append(loss)
+        if i >= 5:
+            break
+    assert np.isfinite(losses).all()
+    # identity CE on random data should drop measurably within a few steps
+    assert losses[-1] < losses[0]
+
+
+def test_eval_runs(setup):
+    cfg, dm, engine = setup
+    cmc, mAP, ssmd, pxl = engine._evaluate(
+        0, dataset_name='synthetic',
+        query_loader=dm.test_loader['synthetic']['query'],
+        gallery_loader=dm.test_loader['synthetic']['gallery'],
+        normalize_feature=True, ranks=(1, 5))
+    assert cmc.shape[0] >= 5
+    assert 0.0 <= mAP <= 1.0
+    assert np.all(np.diff(cmc) >= -1e-6)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    import jax.numpy as jnp
+    from bpbreid_tpu.utils.checkpoint import (
+        load_checkpoint, resume_from_checkpoint, save_checkpoint)
+    cfg, dm, engine = setup
+    path = save_checkpoint(
+        {'state': engine.state, 'epoch': 3, 'rank1': 0.5,
+         'config': cfg.to_dict()}, str(tmp_path), job_id=1, epoch=3,
+        is_best=True)
+    state, start_epoch, meta = resume_from_checkpoint(path, engine.state)
+    assert start_epoch == 4
+    assert meta['rank1'] == 0.5
+    # params restored identically
+    import jax
+    a = jax.tree_util.tree_leaves(engine.state.params)[0]
+    b = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config restored from meta
+    assert meta['config']['model']['bpbreid']['masks']['parts_num'] == 5
+
+
+def test_run_loop_one_epoch(setup, tmp_path):
+    cfg, dm, engine = setup
+    cmc, mAP, ssmd, pxl = engine.run(
+        save_dir=str(tmp_path), max_epoch=1, eval_freq=-1, print_freq=5,
+        normalize_feature=True, ranks=(1, 5))
+    assert 0.0 <= mAP <= 1.0

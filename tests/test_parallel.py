@@ -1,0 +1,104 @@
+"""Multi-device sharding on the 8-device CPU mesh: DP train step and
+gallery-sharded retrieval parity with the single-device path."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_mesh_has_8_devices():
+    from bpbreid_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_bp_distance_matches_local():
+    from bpbreid_tpu.metrics.distance import compute_distance_matrix_using_bp_features
+    from bpbreid_tpu.parallel import make_mesh, sharded_bp_distance
+    rng = np.random.default_rng(0)
+    qf = rng.random((6, 3, 16)).astype(np.float32)
+    gf = rng.random((21, 3, 16)).astype(np.float32)   # not divisible by 8
+    q_vis = rng.random((6, 3)) > 0.2
+    g_vis = rng.random((21, 3)) > 0.2
+    mesh = make_mesh()
+    d_sh, pd_sh, ng = sharded_bp_distance(mesh, qf, gf, q_vis, g_vis)
+    d_ref, pd_ref = compute_distance_matrix_using_bp_features(
+        qf, gf, q_vis, g_vis)
+    assert ng == 21
+    # padded gallery rows have all-False visibility -> sentinel max+1 values
+    # may differ; compare real columns by ranking and part distances directly
+    np.testing.assert_allclose(np.asarray(pd_sh)[:, :, :21],
+                               np.asarray(pd_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.argsort(np.asarray(d_sh)[:, :21], axis=1),
+        np.argsort(np.asarray(d_ref), axis=1))
+
+
+def test_sharded_cmc_matches_numpy():
+    from bpbreid_tpu.metrics.rank import eval_market1501
+    from bpbreid_tpu.parallel import make_mesh, sharded_cmc_map, pad_to_multiple
+    rng = np.random.default_rng(1)
+    nq, ng = 10, 50
+    distmat = rng.random((nq, ng)).astype(np.float32)
+    q_pids = rng.integers(0, 10, nq)
+    g_pids = rng.integers(0, 10, ng)
+    q_cam = rng.integers(0, 3, nq)
+    g_cam = rng.integers(0, 3, ng)
+    mesh = make_mesh()
+    dist_p, _ = pad_to_multiple(distmat, 8, axis=1, value=1e9)
+    cmc, mAP, n_valid = sharded_cmc_map(mesh, dist_p, q_pids, g_pids,
+                                        q_cam, g_cam, n_gallery=ng,
+                                        max_rank=20)
+    ref = eval_market1501(distmat, q_pids, g_pids, q_cam, g_cam, 20)
+    np.testing.assert_allclose(cmc, ref['cmc'], atol=1e-5)
+    assert mAP == pytest.approx(ref['mAP'], abs=1e-5)
+
+
+def test_data_parallel_train_step():
+    """Full DP train step over the 8-device mesh: batch sharded, params
+    replicated; must produce finite loss and updated params."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from bpbreid_tpu.parallel import make_mesh, DATA_AXIS
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.losses.gilt import GiLtLoss
+    import optax
+
+    mesh = make_mesh()
+    model = BPBreID(num_classes=8, parts_num=2, backbone='resnet18',
+                    last_stride=2, dim_reduce='after_pooling',
+                    dim_reduce_output=32)
+    imgs = jnp.zeros((16, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs[:2], train=False)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables['params'])
+    gilt = GiLtLoss()
+
+    def step(params, batch_stats, opt_state, imgs, pids):
+        def loss_fn(p):
+            out, new_state = model.apply(
+                {'params': p, 'batch_stats': batch_stats}, imgs, train=True,
+                mutable=['batch_stats'])
+            emb, vis, cls, pix, feat, masks = out
+            loss, _ = gilt(emb, vis, cls, pids)
+            return loss, new_state['batch_stats']
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, bs, opt_state, loss
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    step_jit = jax.jit(step, in_shardings=(repl, repl, repl, data, data),
+                       out_shardings=(repl, repl, repl, repl))
+    pids = jnp.asarray(np.repeat(np.arange(8), 2))
+    imgs_sharded = jax.device_put(imgs, data)
+    params, bs, opt_state, loss = step_jit(
+        variables['params'], variables['batch_stats'], opt_state,
+        imgs_sharded, jax.device_put(pids, data))
+    assert np.isfinite(float(loss))
+    # a second step with the updated state still works
+    params, bs, opt_state, loss2 = step_jit(params, bs, opt_state,
+                                            imgs_sharded,
+                                            jax.device_put(pids, data))
+    assert np.isfinite(float(loss2))
