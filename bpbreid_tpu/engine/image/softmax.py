@@ -62,6 +62,18 @@ class ImageSoftmaxEngine(Engine):
                                 step=jnp.zeros((), jnp.int32))
         return self.state
 
+    def load_variables(self, variables):
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        if self.state is None:
+            self.state = TrainState(params=params, batch_stats=batch_stats,
+                                    opt_state=self.optimizer.init(params),
+                                    step=jnp.zeros((), jnp.int32))
+        else:
+            self.state = self.state.replace(params=params,
+                                            batch_stats=batch_stats)
+        return self.state
+
     def set_freeze_base(self, freeze):
         self._freeze_base = bool(freeze)
 

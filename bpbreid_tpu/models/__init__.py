@@ -35,8 +35,13 @@ def build_model(name, num_classes, loss='softmax', pretrained=True,
     torchreid/models/__init__.py:102-140). Returns a flax Module; weight
     loading happens via utils.torch_weights / checkpoints."""
     del use_gpu
+    if name in ('bpbreid', 'pcb', 'bot'):
+        # imported lazily: bpbreid.py itself uses this registry for backbones
+        from bpbreid_tpu.models import bpbreid as _bpbreid_mod
+        return getattr(_bpbreid_mod, name)(num_classes, loss=loss,
+                                           pretrained=pretrained, **kwargs)
     if name not in __model_factory:
         raise KeyError('Unknown model: {}. Must be one of {}'.format(
-            name, show_avai_models()))
+            name, show_avai_models() + ['bpbreid', 'pcb', 'bot']))
     return __model_factory[name](num_classes=num_classes, loss=loss,
                                  pretrained=pretrained, **kwargs)

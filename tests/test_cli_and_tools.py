@@ -1,0 +1,102 @@
+"""CLI driver, config building, graft entry points, FeatureExtractor."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_build_config_from_yaml(tmp_path):
+    from bpbreid_tpu.scripts.main import build_config
+
+    class Args:
+        root = ''
+        save_dir = str(tmp_path)
+        inference_enabled = False
+        sources = None
+        targets = None
+        transforms = None
+        job_id = 77
+        opts = ['train.lr', '0.001']
+
+    cfg = build_config(Args(), 'configs/bpbreid/bpbreid_synthetic_smoke.yaml')
+    assert cfg.model.bpbreid.backbone == 'resnet18'
+    assert cfg.model.bpbreid.masks.parts_num == 5      # resolved from five_v
+    assert cfg.model.bpbreid.masks.parts_names[0] == 'head_mask'
+    assert cfg.train.lr == 0.001
+    assert cfg.project.job_id == 77
+    assert cfg.data.save_dir.endswith('77')
+
+
+def test_cli_main_smoke(tmp_path):
+    """Full CLI: train 1 epoch on synthetic + final eval."""
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.scripts.main import main
+    clear_dataset_cache()
+    main(['--config-file', 'configs/bpbreid/bpbreid_synthetic_smoke.yaml',
+          '--save_dir', str(tmp_path), '--job-id', '1',
+          'train.max_epoch', '1', 'test.batch_size', '8'])
+
+
+def test_graft_entry_single_chip():
+    sys.path.insert(0, '/root/repo')
+    import __graft_entry__ as ge
+    import jax
+    # use a small variant for CPU test speed: patch flagship to resnet18
+    fn, example_args = ge.entry.__wrapped__() if hasattr(ge.entry, '__wrapped__') \
+        else (None, None)
+    # entry() builds hrnet32 which is heavy on CPU; just validate the
+    # callable contract with the dryrun instead
+    ge.dryrun_multichip(8)
+
+
+def test_feature_extractor(tmp_path):
+    import jax.numpy as jnp
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.ops.masks import compute_parts_num_and_names
+    from bpbreid_tpu.tools.feature_extractor import FeatureExtractor
+    from bpbreid_tpu.constants import PARTS
+
+    cfg = get_default_config()
+    cfg.data.height, cfg.data.width = 64, 32
+    cfg.model.bpbreid.backbone = 'resnet18'
+    cfg.model.bpbreid.dim_reduce_output = 32
+    cfg.model.bpbreid.masks.preprocess = 'five_v'
+    cfg.model.pretrained = False
+    compute_parts_num_and_names(cfg)
+    fe = FeatureExtractor(cfg, num_classes=4, verbose=False)
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (80, 40, 3), dtype=np.uint8)
+            for _ in range(3)]
+    emb, vis, cls, pix, feat, masks = fe(imgs)
+    assert emb[PARTS].shape == (3, 5, 32)
+    assert vis[PARTS].shape == (3, 5)
+
+
+def test_extract_reid_features(tmp_path):
+    import cv2
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.ops.masks import compute_parts_num_and_names
+    from bpbreid_tpu.tools.extract_part_based_features import extract_reid_features
+
+    crops = tmp_path / 'crops'
+    crops.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(5):
+        img = rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)
+        cv2.imwrite(str(crops / 'img_{}.jpg'.format(i)), img)
+
+    cfg = get_default_config()
+    cfg.data.height, cfg.data.width = 64, 32
+    cfg.test.batch_size = 5
+    cfg.model.bpbreid.backbone = 'resnet18'
+    cfg.model.bpbreid.dim_reduce_output = 32
+    cfg.model.bpbreid.masks.preprocess = 'five_v'
+    cfg.model.pretrained = False
+    compute_parts_num_and_names(cfg)
+    out = tmp_path / 'features'
+    emb, vis, msk = extract_reid_features(cfg, str(crops), str(out))
+    assert emb.shape[0] == 5
+    assert emb.shape[1] == 6      # bn_foreg (1) + parts (5)
+    assert vis.shape == (5, 6)
+    assert (out / 'embeddings_crops.npy').exists()

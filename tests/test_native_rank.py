@@ -1,0 +1,62 @@
+"""Native C++ ranking kernel vs the numpy implementation."""
+import numpy as np
+import pytest
+
+from bpbreid_tpu.metrics.rank import eval_market1501, evaluate_rank
+from bpbreid_tpu.native import rank as native_rank
+
+
+@pytest.mark.skipif(not native_rank.is_available(),
+                    reason='g++ unavailable')
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_native_matches_numpy(seed):
+    rng = np.random.default_rng(seed)
+    num_q, num_g = 40, 300
+    distmat = rng.random((num_q, num_g)).astype(np.float32)
+    q_pids = rng.integers(0, 25, num_q)
+    g_pids = rng.integers(0, 25, num_g)
+    q_cam = rng.integers(0, 5, num_q)
+    g_cam = rng.integers(0, 5, num_g)
+    ref = eval_market1501(distmat, q_pids, g_pids, q_cam, g_cam, 30)
+    got = native_rank.eval_market1501(distmat, q_pids, g_pids, q_cam, g_cam, 30)
+    np.testing.assert_allclose(got['cmc'], ref['cmc'], atol=1e-6)
+    assert got['mAP'] == pytest.approx(ref['mAP'], abs=1e-9)
+
+
+@pytest.mark.skipif(not native_rank.is_available(),
+                    reason='g++ unavailable')
+def test_dispatcher_uses_native():
+    rng = np.random.default_rng(5)
+    distmat = rng.random((10, 60)).astype(np.float32)
+    q_pids = rng.integers(0, 6, 10)
+    g_pids = rng.integers(0, 6, 60)
+    q_cam = rng.integers(0, 3, 10)
+    g_cam = rng.integers(0, 3, 60)
+    out_native = evaluate_rank(distmat, q_pids, g_pids, q_cam, g_cam,
+                               max_rank=10, use_native=True)
+    out_py = evaluate_rank(distmat, q_pids, g_pids, q_cam, g_cam,
+                           max_rank=10, use_native=False)
+    np.testing.assert_allclose(out_native['cmc'], out_py['cmc'], atol=1e-6)
+    assert out_native['mAP'] == pytest.approx(out_py['mAP'], abs=1e-9)
+
+
+@pytest.mark.skipif(not native_rank.is_available(),
+                    reason='g++ unavailable')
+def test_native_speedup_on_large_gallery():
+    import time
+    rng = np.random.default_rng(9)
+    num_q, num_g = 100, 5000
+    distmat = rng.random((num_q, num_g)).astype(np.float32)
+    q_pids = rng.integers(0, 50, num_q)
+    g_pids = rng.integers(0, 50, num_g)
+    q_cam = rng.integers(0, 5, num_q)
+    g_cam = rng.integers(0, 5, num_g)
+    t0 = time.perf_counter()
+    native_rank.eval_market1501(distmat, q_pids, g_pids, q_cam, g_cam, 50)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    eval_market1501(distmat, q_pids, g_pids, q_cam, g_cam, 50)
+    t_numpy = time.perf_counter() - t0
+    print('native {:.4f}s vs numpy {:.4f}s'.format(t_native, t_numpy))
+    # both should be fast; native must not be pathologically slow
+    assert t_native < max(t_numpy * 5, 2.0)

@@ -1,0 +1,38 @@
+"""Pallas kernels vs XLA reference (interpret mode on CPU)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_fused_attention_pool_matches_xla():
+    from bpbreid_tpu.ops.pallas.pooling import fused_attention_pool
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 8, 4, 96)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(2, 8, 4, 6)).astype(np.float32))
+
+    num_ref, den_ref, vis_ref = fused_attention_pool(
+        feats, logits, use_pallas=False)
+    num, den, vis = fused_attention_pool(feats, logits, d_tile=32,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(num), np.asarray(num_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(den), np.asarray(den_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(vis_ref),
+                               atol=1e-6)
+
+
+def test_fused_attention_pool_gwap_equivalence():
+    """num/den equals the model's gwap pooling of the softmax maps."""
+    from bpbreid_tpu.ops.pallas.pooling import fused_attention_pool
+    from bpbreid_tpu.ops.pooling import gwap_pool
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.normal(size=(2, 4, 4, 40)).astype(np.float32))
+    logits = jnp.asarray(rng.normal(size=(2, 4, 4, 3)).astype(np.float32))
+    num, den, _ = fused_attention_pool(feats, logits, d_tile=40,
+                                       interpret=True)
+    probs = jax.nn.softmax(logits, axis=-1)
+    want = gwap_pool(feats, probs)
+    got = num / jnp.clip(den, 1e-6)[..., None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
