@@ -1,6 +1,10 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
-from bpbreid_tpu.models import hrnet, resnet
+from bpbreid_tpu.models import hrnet, osnet, resnet
 from bpbreid_tpu.models.hrnet import hrnet32
+from bpbreid_tpu.models.osnet import (
+    osnet_ain_x1_0, osnet_ibn_x1_0, osnet_x0_5, osnet_x0_25, osnet_x0_75,
+    osnet_x1_0,
+)
 from bpbreid_tpu.models.resnet import (
     resnet18, resnet34, resnet50, resnet50_fc512, resnet101, resnet152,
     resnext50_32x4d, resnext101_32x8d,
@@ -16,6 +20,12 @@ __model_factory = {
     'resnext101_32x8d': resnext101_32x8d,
     'resnet50_fc512': resnet50_fc512,
     'hrnet32': hrnet32,
+    'osnet_x1_0': osnet_x1_0,
+    'osnet_x0_75': osnet_x0_75,
+    'osnet_x0_5': osnet_x0_5,
+    'osnet_x0_25': osnet_x0_25,
+    'osnet_ibn_x1_0': osnet_ibn_x1_0,
+    'osnet_ain_x1_0': osnet_ain_x1_0,
 }
 
 
