@@ -14,6 +14,19 @@ from bpbreid_tpu.data.datasets.image_datasets import (
     PDukemtmcReid,
     SyntheticDataset,
 )
+from bpbreid_tpu.data.datasets.small_datasets import (
+    CUHK01,
+    CUHK02,
+    CUHK03,
+    GRID,
+    PETHZ,
+    PRID,
+    PartialiLIDS,
+    PartialREID,
+    SenseReID,
+    VIPeR,
+    iLIDS,
+)
 
 __image_datasets = {
     'market1501': Market1501,
@@ -23,13 +36,27 @@ __image_datasets = {
     'p_dukemtmc_reid': PDukemtmcReid,
     'msmt17': MSMT17,
     'synthetic': SyntheticDataset,
+    'viper': VIPeR,
+    'ilids': iLIDS,
+    'cuhk01': CUHK01,
+    'cuhk02': CUHK02,
+    'cuhk03': CUHK03,
+    'prid': PRID,
+    'grid': GRID,
+    'sensereid': SenseReID,
+    'partial_reid': PartialREID,
+    'partial_ilids': PartialiLIDS,
+    'p_ETHZ': PETHZ,
 }
 
 # nickname map (reference: datasets/__init__.py)
 __datasets_nicknames = {
     'market1501': 'mk', 'dukemtmcreid': 'du', 'occluded_duke': 'od',
     'occluded_reid': 'or', 'p_dukemtmc_reid': 'pd', 'msmt17': 'ms',
-    'synthetic': 'sy',
+    'synthetic': 'sy', 'viper': 'vi', 'ilids': 'il', 'cuhk01': 'c1',
+    'cuhk02': 'c2', 'cuhk03': 'c3', 'prid': 'pr', 'grid': 'gr',
+    'sensereid': 'se', 'partial_reid': 'pa', 'partial_ilids': 'pi',
+    'p_ETHZ': 'pe',
 }
 
 _dataset_cache = {}
