@@ -172,10 +172,9 @@ def read_masks(path):
     if masks.ndim != 3:
         raise ValueError('masks at {} must be 3-D, got {}'.format(
             path, masks.shape))
-    # stored channel-first -> transpose to channel-last
-    if masks.shape[0] < masks.shape[1] and masks.shape[0] < masks.shape[2]:
-        masks = np.transpose(masks, (1, 2, 0))
-    return masks.astype(np.float32)
+    # stored channel-first, always transposed to channel-last
+    # (reference unconditionally transposes (1, 2, 0), tools.py:139)
+    return np.transpose(masks, (1, 2, 0)).astype(np.float32)
 
 
 class ImageDataset(Dataset):

@@ -1,0 +1,163 @@
+"""Offline human-parsing label generation.
+
+Mirror of the reference tool (reference: torchreid/scripts/get_labels.py:
+173-521): run a pose estimator over every dataset image to produce
+36-channel PifPaf confidence fields (17 keypoint pif + 19 joint paf
+channels), optionally filtered by a person-segmentation model, saved as
+``masks/<masks_dir>/.../<image>.npy`` next to the dataset.
+
+The heavy external models (openpifpaf, detectron2 Mask-RCNN) are
+torch-based offline dependencies in the reference too; here they sit
+behind the ``PoseEstimatorBackend`` / ``SegmentationBackend`` interfaces
+so any provider can be plugged in. A deterministic ``synthetic`` backend
+supports tests and pipeline dry-runs without the external models.
+"""
+import argparse
+import glob
+import os
+import os.path as osp
+
+import numpy as np
+
+__all__ = ['PoseEstimatorBackend', 'SegmentationBackend',
+           'SyntheticPoseBackend', 'OpenPifPafBackend', 'MaskRCNNBackend',
+           'generate_labels']
+
+
+class PoseEstimatorBackend:
+    """Produces [H', W', 36] confidence fields for an RGB uint8 image."""
+
+    def __call__(self, image):
+        raise NotImplementedError
+
+
+class SegmentationBackend:
+    """Produces a [H, W] person-probability mask for an RGB uint8 image."""
+
+    def __call__(self, image):
+        raise NotImplementedError
+
+
+class SyntheticPoseBackend(PoseEstimatorBackend):
+    """Deterministic pseudo-fields: per-channel gaussians arranged along
+    the vertical body axis — enough to exercise the full mask pipeline."""
+
+    def __init__(self, scale=8, seed=0):
+        self.scale = scale
+        self.seed = seed
+
+    def __call__(self, image):
+        h, w = image.shape[:2]
+        fh, fw = max(1, h // self.scale), max(1, w // self.scale)
+        yy = np.linspace(0, 1, fh)[:, None]
+        xx = np.linspace(0, 1, fw)[None, :]
+        fields = np.zeros((fh, fw, 36), np.float32)
+        rng = np.random.default_rng(self.seed + int(image.sum()) % 1000)
+        for c in range(36):
+            cy = (c + 0.5) / 36.0
+            cx = 0.5 + 0.15 * np.sin(c)
+            g = np.exp(-(((yy - cy) / 0.15) ** 2 + ((xx - cx) / 0.3) ** 2))
+            fields[..., c] = g * (0.5 + 0.5 * rng.random())
+        return fields
+
+
+class OpenPifPafBackend(PoseEstimatorBackend):
+    """openpifpaf confidence fields (reference: get_labels.py:197-279)."""
+
+    def __init__(self, checkpoint='shufflenetv2k30'):
+        try:
+            import openpifpaf  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                'openpifpaf is not installed in this environment; use the '
+                "'synthetic' backend or install openpifpaf for real "
+                'labels') from e
+        import openpifpaf
+        import torch
+        self.predictor = openpifpaf.Predictor(checkpoint=checkpoint)
+
+    def __call__(self, image):
+        import PIL.Image
+        _pred, _gt, meta = None, None, None
+        fields = None
+        for pred, _, meta in self.predictor.numpy_images([image]):
+            fields = pred
+        # concat pif[:,1] (17) + paf[:,1] (19) confidence planes
+        raise NotImplementedError(
+            'field extraction requires the openpifpaf runtime; '
+            'see reference get_labels.py:254-279')
+
+
+class MaskRCNNBackend(SegmentationBackend):
+    """detectron2 person masks (reference: get_labels.py:404-484)."""
+
+    def __init__(self):
+        try:
+            import detectron2  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                'detectron2 is not installed in this environment; omit '
+                '--filter or install detectron2') from e
+
+
+def generate_labels(dataset_root, masks_dir='pifpaf', backend=None,
+                    seg_backend=None, image_glob='**/*.jpg',
+                    masks_base_dir='masks', limit=None):
+    """Run the backend over every image and save confidence fields.
+
+    Output layout matches the reference (dataset/masks/<masks_dir>/
+    <subdir>/<image>.npy with channel-first storage, get_labels.py:108).
+    """
+    backend = backend or SyntheticPoseBackend()
+    import cv2
+    images = sorted(glob.glob(osp.join(dataset_root, image_glob),
+                              recursive=True))
+    images = [p for p in images
+              if masks_base_dir not in osp.relpath(p, dataset_root)]
+    if limit:
+        images = images[:limit]
+    out_paths = []
+    for img_path in images:
+        img = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
+        fields = backend(img)                     # [h, w, 36]
+        if seg_backend is not None:
+            person = seg_backend(img)
+            ph, pw = fields.shape[:2]
+            person = cv2.resize(person.astype(np.float32), (pw, ph))
+            fields = fields * person[..., None]
+        rel = osp.relpath(img_path, dataset_root)
+        out = osp.join(dataset_root, masks_base_dir, masks_dir,
+                       osp.dirname(rel),
+                       osp.basename(img_path) + '.confidence_fields.npy')
+        os.makedirs(osp.dirname(out), exist_ok=True)
+        # store channel-first like the reference tool
+        np.save(out, np.transpose(fields, (2, 0, 1)))
+        out_paths.append(out)
+    print('Generated {} mask files under {}'.format(
+        len(out_paths), osp.join(dataset_root, masks_base_dir, masks_dir)))
+    return out_paths
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--source', required=True,
+                        help='dataset root directory')
+    parser.add_argument('--backend', default='synthetic',
+                        choices=['synthetic', 'pifpaf'])
+    parser.add_argument('--filter', action='store_true',
+                        help='apply Mask-RCNN person filtering')
+    parser.add_argument('--masks-dir', default=None)
+    parser.add_argument('--limit', type=int, default=None)
+    args = parser.parse_args(argv)
+
+    backend = SyntheticPoseBackend() if args.backend == 'synthetic' \
+        else OpenPifPafBackend()
+    seg = MaskRCNNBackend() if args.filter else None
+    masks_dir = args.masks_dir or (
+        'pifpaf_maskrcnn_filtering' if args.filter else 'pifpaf')
+    generate_labels(args.source, masks_dir=masks_dir, backend=backend,
+                    seg_backend=seg, limit=args.limit)
+
+
+if __name__ == '__main__':
+    main()
