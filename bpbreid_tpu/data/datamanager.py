@@ -94,9 +94,21 @@ class ImageDataManager(DataManager):
         sampler = build_train_sampler(
             trainset.train, train_sampler, batch_size=batch_size_train,
             num_instances=num_instances, seed=seed)
+        # Random-occlusion runs host-side (variable occluder shapes are
+        # incompatible with static-shape jit); everything else on device
+        host_transform = None
+        lowered = [t.lower() for t in self.transforms]
+        if ('ro' in lowered or 'random_occlusion' in lowered) \
+                and config is not None:
+            from bpbreid_tpu.data.data_augmentation import RandomOcclusion
+            ro = config.data.ro
+            host_transform = RandomOcclusion(
+                path=ro.path, p=ro.p, n=ro.n, min_overlap=ro.min_overlap,
+                max_overlap=ro.max_overlap, seed=seed)
         self.train_loader = BatchLoader(
             trainset, 'train', batch_size_train, height, width,
-            sampler=sampler, num_workers=workers, drop_last=True)
+            sampler=sampler, num_workers=workers, drop_last=True,
+            host_transform=host_transform)
 
         self.train_loader_t = None
         if load_train_targets:

@@ -26,7 +26,8 @@ class BatchLoader:
 
     def __init__(self, dataset, mode, batch_size, height, width,
                  sampler=None, num_workers=4, drop_last=False,
-                 pad_last=True):
+                 pad_last=True, host_transform=None):
+        self.host_transform = host_transform
         self.dataset = dataset
         self.mode = mode
         self.batch_size = batch_size
@@ -54,7 +55,10 @@ class BatchLoader:
         return list(range(self.dataset.len(self.mode)))
 
     def _fetch(self, idx):
-        return self.dataset.get(self.mode, idx, self.height, self.width)
+        sample = self.dataset.get(self.mode, idx, self.height, self.width)
+        if self.host_transform is not None:
+            sample['image'] = self.host_transform(sample['image'])
+        return sample
 
     def _assemble(self, samples, n_valid):
         b = len(samples)

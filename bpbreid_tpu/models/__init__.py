@@ -1,5 +1,5 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
-from bpbreid_tpu.models import hrnet, osnet, resnet
+from bpbreid_tpu.models import hrnet, mobilenetv2, osnet, pcb, resnet, resnet_fastreid, shufflenetv2
 from bpbreid_tpu.models.hrnet import hrnet32
 from bpbreid_tpu.models.osnet import (
     osnet_ain_x1_0, osnet_ibn_x1_0, osnet_x0_5, osnet_x0_25, osnet_x0_75,
@@ -8,6 +8,16 @@ from bpbreid_tpu.models.osnet import (
 from bpbreid_tpu.models.resnet import (
     resnet18, resnet34, resnet50, resnet50_fc512, resnet101, resnet152,
     resnext50_32x4d, resnext101_32x8d,
+)
+from bpbreid_tpu.models.mobilenetv2 import mobilenetv2_x1_0, mobilenetv2_x1_4
+from bpbreid_tpu.models.pcb import pcb_p4, pcb_p6
+from bpbreid_tpu.models.shufflenetv2 import (
+    shufflenet_v2_x0_5, shufflenet_v2_x1_0, shufflenet_v2_x1_5,
+    shufflenet_v2_x2_0,
+)
+from bpbreid_tpu.models.resnet_fastreid import (
+    fastreid_resnet, fastreid_resnet_ibn, fastreid_resnet_ibn_nl,
+    fastreid_resnet_nl,
 )
 
 __model_factory = {
@@ -26,6 +36,18 @@ __model_factory = {
     'osnet_x0_25': osnet_x0_25,
     'osnet_ibn_x1_0': osnet_ibn_x1_0,
     'osnet_ain_x1_0': osnet_ain_x1_0,
+    'fastreid_resnet': fastreid_resnet,
+    'fastreid_resnet_ibn': fastreid_resnet_ibn,
+    'fastreid_resnet_nl': fastreid_resnet_nl,
+    'fastreid_resnet_ibn_nl': fastreid_resnet_ibn_nl,
+    'pcb_p6': pcb_p6,
+    'pcb_p4': pcb_p4,
+    'mobilenetv2_x1_0': mobilenetv2_x1_0,
+    'mobilenetv2_x1_4': mobilenetv2_x1_4,
+    'shufflenet_v2_x0_5': shufflenet_v2_x0_5,
+    'shufflenet_v2_x1_0': shufflenet_v2_x1_0,
+    'shufflenet_v2_x1_5': shufflenet_v2_x1_5,
+    'shufflenet_v2_x2_0': shufflenet_v2_x2_0,
 }
 
 

@@ -18,6 +18,10 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# persistent compilation cache: repeat suite runs skip XLA recompiles
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_test_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

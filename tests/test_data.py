@@ -118,3 +118,31 @@ def test_datamanager_end_to_end():
     assert q['image'].shape[0] == 8
     kw = dm.mask_chain_kwargs()
     assert kw['grouping_matrix'].shape == (36, 5)
+
+
+def test_random_occlusion():
+    from bpbreid_tpu.data.data_augmentation import RandomOcclusion
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 32, 3), dtype=np.uint8)
+    ro = RandomOcclusion(p=1.0, n=1, seed=0)
+    out = ro(img)
+    assert out.shape == img.shape
+    assert (out != img).any()          # something was pasted
+    ro_off = RandomOcclusion(p=0.0, seed=0)
+    np.testing.assert_array_equal(ro_off(img), img)
+
+
+def test_datamanager_with_ro(synth):
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.data import ImageDataManager
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    clear_dataset_cache()
+    cfg = get_default_config()
+    cfg.model.bpbreid.masks.preprocess = 'five_v'
+    dm = ImageDataManager(
+        config=cfg, root='', sources=['synthetic'], targets=['synthetic'],
+        height=64, width=32, transforms=['ro', 'rf'], batch_size_train=8,
+        batch_size_test=8, workers=1, num_instances=4, use_masks=True,
+        masks_dir='pifpaf_maskrcnn_filtering')
+    b = next(iter(dm.train_loader))
+    assert b['image'].shape == (8, 64, 32, 3)

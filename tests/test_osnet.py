@@ -69,3 +69,35 @@ def test_osnet_featuremap_mode():
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)), train=False)
     f = m.apply(v, jnp.zeros((2, 64, 32, 3)), train=False)
     assert f.shape == (2, 4, 2, 128)      # /16 scale, top channels
+
+
+@pytest.mark.parametrize('arch', ['fastreid_resnet_ibn_nl'])
+def test_fastreid_resnet_parity(arch):
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from bpbreid_tpu import models
+    from bpbreid_tpu.utils.torch_weights import torch_to_flax
+
+    ref_mod = _load_ref('/root/reference/torchreid/models/resnet_fastreid.py',
+                        'ref_fastreid')
+    torch.manual_seed(0)
+    ref = ref_mod.build_resnet_backbone(pretrained=False, with_ibn=True,
+                                        with_nl=True, last_stride=1)
+    _randomize_bn(ref)
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 64, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+
+    model = models.build_model(arch, num_classes=1, loss='part_based',
+                               pretrained=False, last_stride=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
+                           train=False)
+    new_vars, matched, discarded = torch_to_flax(ref.state_dict(), variables)
+    assert not discarded, discarded[:8]
+    got = np.asarray(model.apply(
+        new_vars, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False))
+    got = np.transpose(got, (0, 3, 1, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
