@@ -1,5 +1,7 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
-from bpbreid_tpu.models import hrnet, mobilenetv2, osnet, pcb, resnet, resnet_fastreid, shufflenetv2
+from bpbreid_tpu.models import (hrnet, mobilenetv2, osnet, pcb, resnet,
+    mlfn, resnet_fastreid, resnet_ibn, resnetmid, senet, shufflenet,
+    shufflenetv2, squeezenet)
 from bpbreid_tpu.models.hrnet import hrnet32
 from bpbreid_tpu.models.osnet import (
     osnet_ain_x1_0, osnet_ibn_x1_0, osnet_x0_5, osnet_x0_25, osnet_x0_75,
@@ -10,6 +12,17 @@ from bpbreid_tpu.models.resnet import (
     resnext50_32x4d, resnext101_32x8d,
 )
 from bpbreid_tpu.models.mobilenetv2 import mobilenetv2_x1_0, mobilenetv2_x1_4
+from bpbreid_tpu.models.resnet_ibn import resnet50_ibn_a, resnet50_ibn_b
+from bpbreid_tpu.models.mlfn import mlfn
+from bpbreid_tpu.models.resnetmid import resnet50mid
+from bpbreid_tpu.models.shufflenet import shufflenet
+from bpbreid_tpu.models.squeezenet import (
+    squeezenet1_0, squeezenet1_0_fc512, squeezenet1_1,
+)
+from bpbreid_tpu.models.senet import (
+    se_resnet50, se_resnet50_fc512, se_resnet101, se_resnet152,
+    se_resnext50_32x4d, se_resnext101_32x4d, senet154,
+)
 from bpbreid_tpu.models.pcb import pcb_p4, pcb_p6
 from bpbreid_tpu.models.shufflenetv2 import (
     shufflenet_v2_x0_5, shufflenet_v2_x1_0, shufflenet_v2_x1_5,
@@ -48,6 +61,21 @@ __model_factory = {
     'shufflenet_v2_x1_0': shufflenet_v2_x1_0,
     'shufflenet_v2_x1_5': shufflenet_v2_x1_5,
     'shufflenet_v2_x2_0': shufflenet_v2_x2_0,
+    'resnet50_ibn_a': resnet50_ibn_a,
+    'resnet50_ibn_b': resnet50_ibn_b,
+    'senet154': senet154,
+    'se_resnet50': se_resnet50,
+    'se_resnet50_fc512': se_resnet50_fc512,
+    'se_resnet101': se_resnet101,
+    'se_resnet152': se_resnet152,
+    'se_resnext50_32x4d': se_resnext50_32x4d,
+    'se_resnext101_32x4d': se_resnext101_32x4d,
+    'shufflenet': shufflenet,
+    'squeezenet1_0': squeezenet1_0,
+    'squeezenet1_0_fc512': squeezenet1_0_fc512,
+    'squeezenet1_1': squeezenet1_1,
+    'mlfn': mlfn,
+    'resnet50mid': resnet50mid,
 }
 
 

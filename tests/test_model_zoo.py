@@ -29,6 +29,14 @@ def _randomize_bn(model, seed=0):
     ('mobilenetv2_x1_0', '/root/reference/torchreid/models/mobilenetv2.py'),
     ('shufflenet_v2_x0_5', '/root/reference/torchreid/models/shufflenetv2.py'),
     ('pcb_p4', '/root/reference/torchreid/models/pcb.py'),
+    ('resnet50_ibn_a', '/root/reference/torchreid/models/resnet_ibn_a.py'),
+    ('resnet50_ibn_b', '/root/reference/torchreid/models/resnet_ibn_b.py'),
+    ('se_resnet50', '/root/reference/torchreid/models/senet.py'),
+    ('se_resnext50_32x4d', '/root/reference/torchreid/models/senet.py'),
+    ('squeezenet1_0', '/root/reference/torchreid/models/squeezenet.py'),
+    ('shufflenet', '/root/reference/torchreid/models/shufflenet.py'),
+    ('mlfn', '/root/reference/torchreid/models/mlfn.py'),
+    ('resnet50mid', '/root/reference/torchreid/models/resnetmid.py'),
 ])
 def test_zoo_parity(arch, ref_file):
     import torch
