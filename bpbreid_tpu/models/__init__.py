@@ -1,7 +1,7 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
 from bpbreid_tpu.models import (hrnet, mobilenetv2, osnet, pcb, resnet,
-    mlfn, resnet_fastreid, resnet_ibn, resnetmid, senet, shufflenet,
-    shufflenetv2, squeezenet)
+    densenet, hacnn, mlfn, mudeep, resnet_fastreid, resnet_ibn, resnetmid,
+    senet, shufflenet, shufflenetv2, squeezenet)
 from bpbreid_tpu.models.hrnet import hrnet32
 from bpbreid_tpu.models.osnet import (
     osnet_ain_x1_0, osnet_ibn_x1_0, osnet_x0_5, osnet_x0_25, osnet_x0_75,
@@ -13,7 +13,12 @@ from bpbreid_tpu.models.resnet import (
 )
 from bpbreid_tpu.models.mobilenetv2 import mobilenetv2_x1_0, mobilenetv2_x1_4
 from bpbreid_tpu.models.resnet_ibn import resnet50_ibn_a, resnet50_ibn_b
+from bpbreid_tpu.models.densenet import (
+    densenet121, densenet121_fc512, densenet161, densenet169, densenet201,
+)
+from bpbreid_tpu.models.hacnn import hacnn
 from bpbreid_tpu.models.mlfn import mlfn
+from bpbreid_tpu.models.mudeep import mudeep
 from bpbreid_tpu.models.resnetmid import resnet50mid
 from bpbreid_tpu.models.shufflenet import shufflenet
 from bpbreid_tpu.models.squeezenet import (
@@ -76,6 +81,13 @@ __model_factory = {
     'squeezenet1_1': squeezenet1_1,
     'mlfn': mlfn,
     'resnet50mid': resnet50mid,
+    'densenet121': densenet121,
+    'densenet169': densenet169,
+    'densenet201': densenet201,
+    'densenet161': densenet161,
+    'densenet121_fc512': densenet121_fc512,
+    'hacnn': hacnn,
+    'mudeep': mudeep,
 }
 
 

@@ -53,7 +53,13 @@ def _torch_key_and_transform(path, collection):
         return base + '.bias', lambda a: a
     if leaf == 'embedding':
         return base + '.weight', lambda a: a
-    raise KeyError('unhandled flax leaf {} at {}'.format(leaf, path))
+    # raw nn.Parameter with its own name (e.g. mudeep fusion gates):
+    # torch stores NCHW-broadcast shapes; flax uses NHWC
+    def t_raw(a):
+        if a.ndim == 4:
+            return np.transpose(a, (0, 2, 3, 1))
+        return a
+    return '.'.join(path), t_raw
 
 
 def torch_to_flax(state_dict, variables, strict=False):

@@ -37,6 +37,8 @@ def _randomize_bn(model, seed=0):
     ('shufflenet', '/root/reference/torchreid/models/shufflenet.py'),
     ('mlfn', '/root/reference/torchreid/models/mlfn.py'),
     ('resnet50mid', '/root/reference/torchreid/models/resnetmid.py'),
+    ('densenet121', '/root/reference/torchreid/models/densenet.py'),
+    ('mudeep', '/root/reference/torchreid/models/mudeep.py'),
 ])
 def test_zoo_parity(arch, ref_file):
     import torch
@@ -47,18 +49,23 @@ def test_zoo_parity(arch, ref_file):
 
     ref_mod = _load_ref(ref_file, 'ref_' + arch)
     torch.manual_seed(0)
-    ref = getattr(ref_mod, arch)(num_classes=7, pretrained=False,
-                                 loss='softmax')
+    if arch == 'mudeep':
+        ref = ref_mod.MuDeep(num_classes=7, loss='softmax')
+    else:
+        ref = getattr(ref_mod, arch)(num_classes=7, pretrained=False,
+                                     loss='softmax')
     _randomize_bn(ref)
 
-    x = np.random.default_rng(0).normal(size=(2, 3, 64, 32)).astype(np.float32)
+    hw = (256, 128) if arch == 'mudeep' else (64, 32)
+    x = np.random.default_rng(0).normal(
+        size=(2, 3) + hw).astype(np.float32)
     with torch.no_grad():
         want = ref(torch.from_numpy(x)).numpy()
 
     model = models.build_model(arch, num_classes=7, loss='softmax',
                                pretrained=False)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
-                           train=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1,) + hw + (3,)), train=False)
     new_vars, matched, discarded = torch_to_flax(ref.state_dict(), variables)
     allowed_missing = ('classifier', 'conv5', 'fc')   # train-only heads
     assert not [d for d in discarded
@@ -77,3 +84,74 @@ def test_registry_covers_zoo():
                  'pcb_p6', 'mobilenetv2_x1_0', 'shufflenet_v2_x1_0',
                  'fastreid_resnet_ibn_nl'):
         assert name in avail, name
+
+
+def test_grid_sample_matches_torch():
+    import torch
+    import jax.numpy as jnp
+    from bpbreid_tpu.ops.grid_sample import affine_grid_sample
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 10, 6)).astype(np.float32)   # NCHW for torch
+    theta = np.stack([
+        np.array([[1.0, 0.0, 0.2], [0.0, 0.25, -0.5]], np.float32),
+        np.array([[0.8, 0.0, -0.3], [0.0, 0.5, 0.4]], np.float32)])
+    grid = torch.nn.functional.affine_grid(torch.from_numpy(theta),
+                                           (2, 3, 10, 6), align_corners=False)
+    want = torch.nn.functional.grid_sample(
+        torch.from_numpy(x), grid, align_corners=False).numpy()
+    got = np.asarray(affine_grid_sample(
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), jnp.asarray(theta)))
+    np.testing.assert_allclose(np.transpose(got, (0, 3, 1, 2)), want,
+                               atol=1e-5)
+
+
+def test_hacnn_parity():
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from bpbreid_tpu import models
+    from bpbreid_tpu.utils.torch_weights import torch_to_flax
+
+    ref_mod = _load_ref('/root/reference/torchreid/models/hacnn.py',
+                        'ref_hacnn')
+    torch.manual_seed(0)
+    ref = ref_mod.HACNN(num_classes=7, use_gpu=False)
+    _randomize_bn(ref)
+    ref.train()   # eval path is broken upstream; compare train outputs
+    # (disable BN stat updates by re-entering eval for BN only)
+    ref.eval()
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 160, 64)).astype(np.float32)
+    with torch.no_grad():
+        # eval-mode reference crashes (Tensor.normalization); compare the
+        # global-only variant which returns x_global directly
+        pass
+    torch.manual_seed(0)
+    ref_g = ref_mod.HACNN(num_classes=7, use_gpu=False,
+                          learn_region=False)
+    _randomize_bn(ref_g)
+    with torch.no_grad():
+        want = ref_g(torch.from_numpy(x)).numpy()
+
+    from bpbreid_tpu.models.hacnn import HACNN
+    model = HACNN(num_classes=7, loss='softmax', learn_region=False)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 160, 64, 3)), train=False)
+    new_vars, matched, discarded = torch_to_flax(ref_g.state_dict(), variables)
+    assert not [d for d in discarded if 'classifier' not in d], discarded[:8]
+    got = np.asarray(model.apply(
+        new_vars, jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
+
+
+def test_hacnn_local_branch_runs():
+    import jax
+    import jax.numpy as jnp
+    from bpbreid_tpu import models
+    model = models.build_model('hacnn', num_classes=7, loss='softmax',
+                               pretrained=False)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 160, 64, 3)),
+                   train=False)
+    out = model.apply(v, jnp.zeros((2, 160, 64, 3)), train=False)
+    assert out.shape == (2, 1024)     # global 512 + local 512
