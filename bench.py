@@ -42,17 +42,22 @@ def main():
             variables, images, train=False)
         return emb[BN_FOREGROUND], emb[PARTS], vis[PARTS]
 
-    # warmup + compile
+    # warmup + compile; a host readback of one output guarantees true
+    # device completion (block_until_ready alone can under-sync through
+    # remote/tunneled backends)
+    def sync(o):
+        np.asarray(o[0])
+
     out = forward(variables, images)
-    jax.block_until_ready(out)
+    sync(out)
     for _ in range(args.warmup):
         out = forward(variables, images)
-    jax.block_until_ready(out)
+    sync(out)
 
     start = time.perf_counter()
     for _ in range(args.iters):
         out = forward(variables, images)
-    jax.block_until_ready(out)
+    sync(out)
     elapsed = time.perf_counter() - start
 
     imgs_per_sec = args.batch_size * args.iters / elapsed

@@ -212,7 +212,19 @@ class ImagePartBasedEngine(Engine):
             train=False)
         features, visibility, parts_masks, pixels_cls_scores = \
             self.extract_test_embeddings(outputs)
-        return features, visibility, parts_masks, pixels_cls_scores, masks
+        # pixel part-prediction accuracy vs the target masks
+        # (reference: part_based_engine.py:297-306)
+        pxl_correct = pxl_total = jnp.zeros((), jnp.float32)
+        if pixels_cls_scores is not None and masks is not None:
+            hf, wf = pixels_cls_scores.shape[1:3]
+            target = resize_bilinear_align_corners(masks, hf, wf)
+            target_idx = jnp.argmax(target, axis=-1)
+            pred_idx = jnp.argmax(pixels_cls_scores, axis=-1)
+            correct_map = (pred_idx == target_idx).astype(jnp.float32)
+            pxl_correct = correct_map.sum(axis=(1, 2))      # [N]
+            pxl_total = jnp.full((imgs.shape[0],), float(hf * wf))
+        return (features, visibility, parts_masks, pixels_cls_scores, masks,
+                pxl_correct, pxl_total)
 
     def extract_test_embeddings(self, model_output):
         """Concatenate the configured embedding streams to [N, P+2, D]
@@ -250,9 +262,10 @@ class ImagePartBasedEngine(Engine):
 
     def _feature_extraction(self, loader):
         f_, vis_, pids_, camids_ = [], [], [], []
+        pxl_correct = pxl_total = 0.0
         for batch in loader:
             masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
-            feats, vis, _masks, _pxl, _m = self._eval_step(
+            (feats, vis, _masks, _pxl, _m, corr, tot) = self._eval_step(
                 self.state.params, self.state.batch_stats,
                 jnp.asarray(batch['image']), masks)
             valid = batch['valid']
@@ -260,8 +273,12 @@ class ImagePartBasedEngine(Engine):
             vis_.append(np.asarray(vis)[valid])
             pids_.append(batch['pid'][valid])
             camids_.append(batch['camid'][valid])
+            if np.ndim(corr):
+                pxl_correct += float(np.asarray(corr)[valid].sum())
+                pxl_total += float(np.asarray(tot)[valid].sum())
+        acc = pxl_correct / pxl_total if pxl_total else 0.0
         return (np.concatenate(f_), np.concatenate(vis_),
-                np.concatenate(pids_), np.concatenate(camids_))
+                np.concatenate(pids_), np.concatenate(camids_), acc)
 
     def _evaluate(self, epoch, dataset_name='', query_loader=None,
                   gallery_loader=None, dist_metric='euclidean',
@@ -272,11 +289,19 @@ class ImagePartBasedEngine(Engine):
         if self.state is None:
             self.init_state()
         print('Extracting features from query set ...')
-        qf, q_vis, q_pids, q_camids = self._feature_extraction(query_loader)
+        qf, q_vis, q_pids, q_camids, q_pxl_acc = \
+            self._feature_extraction(query_loader)
         print('Done, obtained {} tensor'.format(qf.shape))
         print('Extracting features from gallery set ...')
-        gf, g_vis, g_pids, g_camids = self._feature_extraction(gallery_loader)
+        gf, g_vis, g_pids, g_camids, g_pxl_acc = \
+            self._feature_extraction(gallery_loader)
         print('Done, obtained {} tensor'.format(gf.shape))
+        n_q, n_g = len(q_pids), len(g_pids)
+        avg_pxl_acc = ((q_pxl_acc * n_q + g_pxl_acc * n_g) / (n_q + n_g)
+                       if (n_q + n_g) else 0.0)
+        if avg_pxl_acc:
+            print('Pixel prediction accuracy: query {:.2%}, gallery {:.2%}, '
+                  'average {:.2%}'.format(q_pxl_acc, g_pxl_acc, avg_pxl_acc))
 
         if normalize_feature:
             qf = self.normalize(qf)
@@ -332,7 +357,7 @@ class ImagePartBasedEngine(Engine):
 
         if self.writer is not None:
             self.writer.report_eval(dataset_name, cmc, mAP, ssmd)
-        return cmc, mAP, ssmd, 0.0
+        return cmc, mAP, ssmd, avg_pxl_acc
 
     def display_individual_parts_ranking_performances(
             self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,

@@ -39,6 +39,7 @@ def _randomize_bn(model, seed=0):
     ('resnet50mid', '/root/reference/torchreid/models/resnetmid.py'),
     ('densenet121', '/root/reference/torchreid/models/densenet.py'),
     ('mudeep', '/root/reference/torchreid/models/mudeep.py'),
+    ('xception', '/root/reference/torchreid/models/xception.py'),
 ])
 def test_zoo_parity(arch, ref_file):
     import torch

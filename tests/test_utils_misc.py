@@ -123,3 +123,22 @@ def test_rerank_shapes():
     out = re_ranking(qg, qq, gg)
     assert out.shape == (5, 12)
     assert np.isfinite(out).all()
+
+
+def test_batch_triplets_display(tmp_path):
+    from bpbreid_tpu.utils.visualization.batch_triplets import display_batch_triplets
+    rng = np.random.default_rng(5)
+    images = rng.integers(0, 255, (8, 32, 16, 3), dtype=np.uint8)
+    emb = rng.normal(size=(8, 16)).astype(np.float32)
+    pids = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    out = display_batch_triplets(images, emb, pids, str(tmp_path))
+    import os
+    assert out is not None and os.path.exists(out)
+
+
+def test_receptive_field():
+    from bpbreid_tpu.utils.receptive_field import compute_receptive_field
+    out = compute_receptive_field([(7, 2, 3), (3, 2, 1)])
+    assert out[0]['rf'] == 7
+    assert out[1]['rf'] == 11          # 7 + 2*2
+    assert out[1]['jump'] == 4
