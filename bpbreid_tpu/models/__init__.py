@@ -1,7 +1,8 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
 from bpbreid_tpu.models import (hrnet, mobilenetv2, osnet, pcb, resnet,
-    densenet, hacnn, inceptionv4, mlfn, mudeep, resnet_fastreid, resnet_ibn,
-    resnetmid, senet, shufflenet, shufflenetv2, squeezenet, xception)
+    densenet, hacnn, inceptionresnetv2, inceptionv4, mlfn, mudeep,
+    resnet_fastreid, resnet_ibn, resnetmid, senet, shufflenet, shufflenetv2,
+    squeezenet, xception)
 from bpbreid_tpu.models.hrnet import hrnet32
 from bpbreid_tpu.models.osnet import (
     osnet_ain_x1_0, osnet_ibn_x1_0, osnet_x0_5, osnet_x0_25, osnet_x0_75,
@@ -17,6 +18,7 @@ from bpbreid_tpu.models.densenet import (
     densenet121, densenet121_fc512, densenet161, densenet169, densenet201,
 )
 from bpbreid_tpu.models.hacnn import hacnn
+from bpbreid_tpu.models.inceptionresnetv2 import inceptionresnetv2
 from bpbreid_tpu.models.inceptionv4 import inceptionv4
 from bpbreid_tpu.models.mlfn import mlfn
 from bpbreid_tpu.models.mudeep import mudeep
@@ -92,6 +94,7 @@ __model_factory = {
     'mudeep': mudeep,
     'xception': xception,
     'inceptionv4': inceptionv4,
+    'inceptionresnetv2': inceptionresnetv2,
 }
 
 

@@ -41,6 +41,8 @@ def _randomize_bn(model, seed=0):
     ('mudeep', '/root/reference/torchreid/models/mudeep.py'),
     ('xception', '/root/reference/torchreid/models/xception.py'),
     ('inceptionv4', '/root/reference/torchreid/models/inceptionv4.py'),
+    ('inceptionresnetv2',
+     '/root/reference/torchreid/models/inceptionresnetv2.py'),
 ])
 def test_zoo_parity(arch, ref_file):
     import torch
@@ -58,7 +60,8 @@ def test_zoo_parity(arch, ref_file):
                                      loss='softmax')
     _randomize_bn(ref)
 
-    hw = {'mudeep': (256, 128), 'inceptionv4': (160, 96)}.get(arch, (64, 32))
+    hw = {'mudeep': (256, 128), 'inceptionv4': (160, 96),
+          'inceptionresnetv2': (160, 96)}.get(arch, (64, 32))
     x = np.random.default_rng(0).normal(
         size=(2, 3) + hw).astype(np.float32)
     with torch.no_grad():
