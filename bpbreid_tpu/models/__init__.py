@@ -1,8 +1,8 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
 from bpbreid_tpu.models import (hrnet, mobilenetv2, osnet, pcb, resnet,
     densenet, hacnn, inceptionresnetv2, inceptionv4, mlfn, mudeep,
-    resnet_fastreid, resnet_ibn, resnetmid, senet, shufflenet, shufflenetv2,
-    squeezenet, xception)
+    pvpm, resnet_fastreid, resnet_ibn, resnetmid, senet, shufflenet,
+    shufflenetv2, squeezenet, xception)
 from bpbreid_tpu.models.hrnet import hrnet32
 from bpbreid_tpu.models.osnet import (
     osnet_ain_x1_0, osnet_ibn_x1_0, osnet_x0_5, osnet_x0_25, osnet_x0_75,
@@ -22,6 +22,7 @@ from bpbreid_tpu.models.inceptionresnetv2 import inceptionresnetv2
 from bpbreid_tpu.models.inceptionv4 import inceptionv4
 from bpbreid_tpu.models.mlfn import mlfn
 from bpbreid_tpu.models.mudeep import mudeep
+from bpbreid_tpu.models.pvpm import pose_p4, pose_p4s, pose_p6, pose_p6s
 from bpbreid_tpu.models.xception import xception
 from bpbreid_tpu.models.resnetmid import resnet50mid
 from bpbreid_tpu.models.shufflenet import shufflenet
@@ -95,6 +96,10 @@ __model_factory = {
     'xception': xception,
     'inceptionv4': inceptionv4,
     'inceptionresnetv2': inceptionresnetv2,
+    'pose_p4': pose_p4,
+    'pose_p6': pose_p6,
+    'pose_p4s': pose_p4s,
+    'pose_p6s': pose_p6s,
 }
 
 

@@ -118,7 +118,9 @@ class ChannelGate(nn.Module):
     def __call__(self, x, train=False):
         c = x.shape[-1]
         g = x.mean(axis=(1, 2), keepdims=True)           # [N,1,1,C]
-        g = nn.Conv(c // self.reduction, (1, 1), use_bias=True,
+        # floor at 1: small-width uses (e.g. the PVPM pose subnet, where the
+        # reference's c//16 hits zero, pvpm.py:354+osnet.py:180) stay valid
+        g = nn.Conv(max(1, c // self.reduction), (1, 1), use_bias=True,
                     dtype=self.dtype, name='fc1')(g)
         g = nn.relu(g)
         g = nn.Conv(c, (1, 1), use_bias=True, dtype=self.dtype,

@@ -160,3 +160,26 @@ def test_hacnn_local_branch_runs():
                    train=False)
     out = model.apply(v, jnp.zeros((2, 160, 64, 3)), train=False)
     assert out.shape == (2, 1024)     # global 512 + local 512
+
+
+def test_pvpm_shapes():
+    import jax
+    import jax.numpy as jnp
+    from bpbreid_tpu import models
+    m = models.build_model('pose_p4', num_classes=5, loss='softmax',
+                           pretrained=False)
+    imgs = jnp.zeros((2, 64, 32, 3))
+    pose = jnp.zeros((2, 16, 8, 56))   # quarter-res pose maps -> att matches f
+    v = m.init(jax.random.PRNGKey(0), imgs, pose, train=True)
+    (ys, att), _ = m.apply(v, imgs, pose, train=True,
+                           mutable=['batch_stats'],
+                           rngs={'dropout': jax.random.PRNGKey(1)})
+    assert len(ys) == 4 and ys[0].shape == (2, 5)
+    feats = m.apply(v, imgs, pose, train=False)
+    assert feats.shape == (2, 2048 * 4)
+
+    ms = models.build_model('pose_p4s', num_classes=5, loss='softmax',
+                            pretrained=False)
+    vs = ms.init(jax.random.PRNGKey(0), imgs, pose, train=False)
+    feats, score = ms.apply(vs, imgs, pose, train=False)
+    assert score.shape == (2, 4)
