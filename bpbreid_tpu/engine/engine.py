@@ -87,6 +87,8 @@ class Engine:
             return result
 
         print('=> Start training')
+        if self.writer is not None:
+            self.writer.total_run_timer.start()
         self.engine_state.training_started()
         time_start = time.time()
         best_rank1 = -1.0
@@ -123,6 +125,8 @@ class Engine:
             self.save_model(self.epoch, save_dir, cmc=cmc, mAP=mAP, ssmd=ssmd,
                             is_best=cmc[0] > best_rank1)
 
+        if self.writer is not None:
+            self.writer.total_run_timer.stop()
         elapsed = time.time() - time_start
         print('Elapsed {:.0f}s'.format(elapsed))
         if self.writer is not None:
@@ -132,10 +136,17 @@ class Engine:
         return cmc, mAP, ssmd, pxl_acc
 
     def train(self, epoch, print_freq=10):
-        """One epoch over the train loader (reference: engine.py:255-277)."""
+        """One epoch over the train loader (reference: engine.py:255-277).
+        Phase timings feed the Writer's final timing table
+        (reference: writer.py:373-391)."""
         losses = MetricsSummary()
-        batch_time = TimeMeter()
-        data_time = TimeMeter()
+        w = self.writer
+        batch_time = w.batch_timer if w is not None else TimeMeter()
+        data_time = w.data_loading_timer if w is not None else TimeMeter()
+        if w is not None:
+            w.epoch_timer.start()
+        log_freq = getattr(self.config.train, 'batch_log_freq', 0) \
+            if self.config is not None else 0
         self.engine_state.epoch_started()
         num_batches = len(self.datamanager.train_loader)
         end = time.perf_counter()
@@ -147,6 +158,9 @@ class Engine:
             batch_time.meter.update(time.perf_counter() - end)
             end = time.perf_counter()
             self.engine_state.batch_completed()
+            if w is not None and log_freq > 0 \
+                    and (batch_idx + 1) % log_freq == 0:
+                w.report_global_step(loss_summary, self.engine_state.lr)
             if print_freq > 0 and (batch_idx + 1) % print_freq == 0:
                 print('epoch: [{}/{}][{}/{}] time {:.3f} data {:.3f} '
                       'loss {:.4f} | {}'.format(
@@ -154,6 +168,8 @@ class Engine:
                           num_batches, batch_time.meter.avg,
                           data_time.meter.avg, float(loss),
                           losses.summary_str()))
+        if w is not None:
+            w.epoch_timer.stop()
         self.engine_state.epoch_completed()
         return losses
 

@@ -253,10 +253,18 @@ class ImagePartBasedEngine(Engine):
         if self.state is None:
             self.init_state()
         self._rng, rng = jax.random.split(self._rng)
+        imgs = jnp.asarray(batch['image'])
         masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
+        pids = jnp.asarray(batch['pid'])
+        sharding = getattr(self, 'batch_sharding', None)
+        if sharding is not None:    # mesh-distributed (parallel/train.py)
+            imgs = jax.device_put(imgs, sharding)
+            pids = jax.device_put(pids, sharding)
+            if masks is not None:
+                masks = jax.device_put(masks, sharding)
         self.state, loss, loss_summary = self._train_step(
-            self.state, jnp.asarray(batch['image']), masks,
-            jnp.asarray(batch['pid']), rng, freeze_base=self._freeze_base)
+            self.state, imgs, masks, pids, rng,
+            freeze_base=self._freeze_base)
         summary = jax.tree_util.tree_map(float, loss_summary)
         return float(loss), summary
 

@@ -1,6 +1,6 @@
 """Model registry and factory (reference: torchreid/models/__init__.py:29-140)."""
 from bpbreid_tpu.models import (hrnet, mobilenetv2, osnet, pcb, resnet,
-    densenet, hacnn, inceptionresnetv2, inceptionv4, mlfn, mudeep,
+    densenet, hacnn, inceptionresnetv2, inceptionv4, mlfn, mudeep, nasnet,
     pvpm, resnet_fastreid, resnet_ibn, resnetmid, senet, shufflenet,
     shufflenetv2, squeezenet, xception)
 from bpbreid_tpu.models.hrnet import hrnet32
@@ -22,6 +22,7 @@ from bpbreid_tpu.models.inceptionresnetv2 import inceptionresnetv2
 from bpbreid_tpu.models.inceptionv4 import inceptionv4
 from bpbreid_tpu.models.mlfn import mlfn
 from bpbreid_tpu.models.mudeep import mudeep
+from bpbreid_tpu.models.nasnet import nasnetamobile
 from bpbreid_tpu.models.pvpm import pose_p4, pose_p4s, pose_p6, pose_p6s
 from bpbreid_tpu.models.xception import xception
 from bpbreid_tpu.models.resnetmid import resnet50mid
@@ -100,6 +101,7 @@ __model_factory = {
     'pose_p6': pose_p6,
     'pose_p4s': pose_p4s,
     'pose_p6s': pose_p6s,
+    'nasnetamobile': nasnetamobile,
 }
 
 

@@ -10,3 +10,4 @@ from bpbreid_tpu.parallel.retrieval import (
     sharded_bp_distance,
     sharded_cmc_map,
 )
+from bpbreid_tpu.parallel.train import distribute_engine

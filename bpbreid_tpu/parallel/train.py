@@ -1,0 +1,64 @@
+"""Data-parallel distribution of an engine's compiled train step.
+
+``distribute_engine(engine, mesh)`` re-jits the engine's train step with
+mesh shardings — batch arrays sharded over the ``data`` axis, TrainState
+replicated — so XLA partitions the step with GSPMD and inserts the
+gradient all-reduce over ICI. This is the TPU-native replacement for the
+reference's ``nn.DataParallel(model).cuda()``
+(reference: torchreid/scripts/main.py:257).
+
+Global-batch semantics are preserved: BN statistics and the batch-hard
+triplet mining see the full global batch (XLA lowers the cross-device
+reductions automatically), which the reference's per-replica
+DataParallel does NOT do — strictly stronger parity.
+"""
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from bpbreid_tpu.parallel.mesh import DATA_AXIS, make_mesh
+
+__all__ = ['distribute_engine']
+
+
+def distribute_engine(engine, mesh=None, n_devices=None):
+    """Swap the engine's jitted train step for a mesh-sharded version.
+
+    Args:
+        engine: an ImagePartBasedEngine / ImageSoftmaxEngine (anything
+            exposing ``_train_step_impl`` with (state, imgs, masks/pids...)
+            signature and a ``_train_step`` slot).
+        mesh: optional prebuilt 1-D mesh; built over ``n_devices`` if None.
+    Returns:
+        the mesh (for sharding eval data too).
+    """
+    mesh = mesh or make_mesh(n_devices)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    engine.mesh = mesh
+    engine.batch_sharding = data
+    engine.replicated_sharding = repl
+
+    import inspect
+    sig = inspect.signature(engine._train_step_impl)
+    n_args = len(sig.parameters) - 1          # minus freeze_base kwarg
+    # state replicated; batch arrays (imgs, masks, pids) sharded; rng repl
+    if 'raw_masks' in sig.parameters:
+        in_shardings = (repl, data, data, data, repl)
+    else:
+        in_shardings = (repl, data, data, repl)
+    # pjit rejects kwargs with explicit in_shardings: bind freeze_base
+    # statically into two compiled variants
+    from functools import partial
+    variants = {
+        flag: jax.jit(partial(engine._train_step_impl, freeze_base=flag),
+                      in_shardings=in_shardings, donate_argnums=(0,))
+        for flag in (False, True)
+    }
+
+    def sharded_step(state, *args, freeze_base=False):
+        return variants[bool(freeze_base)](state, *args)
+
+    engine._train_step = sharded_step
+    if engine.state is not None:
+        engine.state = jax.device_put(engine.state, repl)
+    return mesh

@@ -153,6 +153,11 @@ def build_model_engine(cfg):
 
     logger = Logger(cfg)
     set_random_seed(cfg.train.seed)
+    if cfg.project.debug_mode:
+        # TPU equivalent of torch.autograd.set_detect_anomaly
+        # (reference: main.py:227-228): fail fast on NaNs in jitted code
+        import jax
+        jax.config.update('jax_debug_nans', True)
     datamanager = build_datamanager(cfg)
     engine_state = EngineState(cfg.train.start_epoch, cfg.train.max_epoch)
     writer = Writer(cfg, logger=logger)

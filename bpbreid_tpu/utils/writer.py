@@ -98,3 +98,34 @@ class Writer(EngineStateListener):
             if t.meter.count:
                 print('{:<28} {:>10.2f} {:>10.4f} {:>8}'.format(
                     t.name, t.total, t.avg, t.meter.count))
+
+
+class ProfilerTrace:
+    """jax.profiler trace context for a training phase.
+
+    The TPU-native replacement for the reference's CUDA-event timers
+    (TorchTimeMeter, avgmeter.py:240-283) when op-level visibility is
+    needed: writes a TensorBoard-compatible trace under
+    ``<save_dir>/profile`` (view with xprof/tensorboard).
+    """
+
+    def __init__(self, save_dir, enabled=True):
+        self.save_dir = save_dir
+        self.enabled = enabled
+        self._active = False
+
+    def __enter__(self):
+        if self.enabled:
+            import os
+            import jax
+            os.makedirs(self.save_dir, exist_ok=True)
+            jax.profiler.start_trace(self.save_dir)
+            self._active = True
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+        return False

@@ -43,6 +43,7 @@ def _randomize_bn(model, seed=0):
     ('inceptionv4', '/root/reference/torchreid/models/inceptionv4.py'),
     ('inceptionresnetv2',
      '/root/reference/torchreid/models/inceptionresnetv2.py'),
+    ('nasnetamobile', '/root/reference/torchreid/models/nasnet.py'),
 ])
 def test_zoo_parity(arch, ref_file):
     import torch
@@ -61,7 +62,8 @@ def test_zoo_parity(arch, ref_file):
     _randomize_bn(ref)
 
     hw = {'mudeep': (256, 128), 'inceptionv4': (160, 96),
-          'inceptionresnetv2': (160, 96)}.get(arch, (64, 32))
+          'inceptionresnetv2': (160, 96),
+          'nasnetamobile': (128, 64)}.get(arch, (64, 32))
     x = np.random.default_rng(0).normal(
         size=(2, 3) + hw).astype(np.float32)
     with torch.no_grad():

@@ -102,3 +102,44 @@ def test_data_parallel_train_step():
                                             imgs_sharded,
                                             jax.device_put(pids, data))
     assert np.isfinite(float(loss2))
+
+
+def test_distribute_engine_end_to_end():
+    """distribute_engine swaps the engine's compiled step for a
+    mesh-sharded one; training still converges on the 8-device mesh."""
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.data import ImageDataManager
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.engine import ImagePartBasedEngine
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.optim import build_optimizer
+    from bpbreid_tpu.parallel import distribute_engine
+    from bpbreid_tpu.ops.masks import compute_parts_num_and_names
+
+    clear_dataset_cache()
+    cfg = get_default_config()
+    cfg.data.height, cfg.data.width = 64, 32
+    cfg.data.sources = cfg.data.targets = ['synthetic']
+    cfg.data.transforms = ['rf']
+    cfg.train.batch_size = 16
+    cfg.model.bpbreid.backbone = 'resnet18'
+    cfg.model.bpbreid.masks.preprocess = 'five_v'
+    cfg.model.bpbreid.dim_reduce_output = 32
+    compute_parts_num_and_names(cfg)
+    dm = ImageDataManager(
+        config=cfg, root='', sources=['synthetic'], targets=['synthetic'],
+        height=64, width=32, transforms=['rf'], batch_size_train=16,
+        batch_size_test=8, workers=1, num_instances=4, use_masks=True,
+        masks_dir='pifpaf_maskrcnn_filtering')
+    model = BPBreID(num_classes=dm.num_train_pids, parts_num=5,
+                    backbone='resnet18', last_stride=1,
+                    dim_reduce='after_pooling', dim_reduce_output=32)
+    engine = ImagePartBasedEngine(cfg, dm, model,
+                                  build_optimizer(optim='adam', lr=3e-4))
+    engine.init_state()
+    mesh = distribute_engine(engine)
+    assert mesh.devices.size == 8
+    batch = next(iter(dm.train_loader))
+    loss1, _ = engine.forward_backward(batch)
+    loss2, _ = engine.forward_backward(batch)
+    assert np.isfinite(loss1) and np.isfinite(loss2)

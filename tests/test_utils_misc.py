@@ -142,3 +142,32 @@ def test_receptive_field():
     assert out[0]['rf'] == 7
     assert out[1]['rf'] == 11          # 7 + 2*2
     assert out[1]['jump'] == 4
+
+
+def test_compact_bilinear_pooling():
+    import jax.numpy as jnp
+    from bpbreid_tpu.ops.compact_bilinear_pooling import (
+        CompactBilinearPooling, count_sketch, make_sketch_params)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 32)).astype(np.float32)
+    h, s = make_sketch_params(32, 16, seed=0)
+    got = np.asarray(count_sketch(jnp.asarray(x), h, s, 16))
+    want = np.zeros((4, 16), np.float32)
+    for i in range(32):
+        want[:, int(h[i])] += float(s[i]) * x[:, i]
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    cbp = CompactBilinearPooling(32, 32, 64)
+    z = np.asarray(cbp(jnp.asarray(x)))
+    assert z.shape == (4, 64)
+    # CBP approximates the polynomial kernel: <cbp(x), cbp(y)> ~ <x,y>^2;
+    # use a large sketch so the estimator variance is small
+    xb = rng.normal(size=(64, 64)).astype(np.float32)
+    yb = rng.normal(size=(64, 64)).astype(np.float32)
+    cbp2 = CompactBilinearPooling(64, 64, 8192)
+    zx = np.asarray(cbp2(jnp.asarray(xb)))
+    zy = np.asarray(cbp2(jnp.asarray(yb)))
+    k_true = (xb * yb).sum(-1) ** 2
+    k_est = (zx * zy).sum(-1)
+    corr = np.corrcoef(k_true, k_est)[0, 1]
+    assert corr > 0.8, corr
