@@ -20,6 +20,7 @@ def main():
     parser.add_argument('--backbone', default='hrnet32')
     parser.add_argument('--height', type=int, default=384)
     parser.add_argument('--width', type=int, default=128)
+    parser.add_argument('--pallas-pooling', action='store_true')
     args = parser.parse_args()
 
     import jax
@@ -30,7 +31,8 @@ def main():
 
     model = BPBreID(num_classes=751, parts_num=5, backbone=args.backbone,
                     last_stride=1, dim_reduce='after_pooling',
-                    dim_reduce_output=512, dtype=jnp.bfloat16)
+                    dim_reduce_output=512, dtype=jnp.bfloat16,
+                    use_pallas_pooling=args.pallas_pooling)
     rng = jax.random.PRNGKey(0)
     images = jax.random.normal(
         rng, (args.batch_size, args.height, args.width, 3), jnp.float32)

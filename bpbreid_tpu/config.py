@@ -81,6 +81,7 @@ class BPBreIDCfg:
     training_binary_visibility_score: bool = True
     testing_binary_visibility_score: bool = True
     shared_parts_id_classifier: bool = False
+    use_pallas_pooling: bool = False
     hrnet_pretrained_path: str = 'pretrained_models/'
     masks: MasksCfg = field(default_factory=MasksCfg)
 

@@ -130,6 +130,7 @@ class BPBreID(nn.Module):
     training_binary_visibility_score: bool = True
     testing_binary_visibility_score: bool = True
     horizontal_stripes: bool = False
+    use_pallas_pooling: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -268,10 +269,29 @@ class BPBreID(nn.Module):
         global_embeddings = spatial_features.mean(axis=(1, 2))       # [N, D]
         foreground_embeddings = parts_pooling(
             spatial_features, foreground_masks[..., None], 'gap')[:, 0]
-        background_embeddings = parts_pooling(
-            spatial_features, background_masks[..., None], 'gap')[:, 0]
-        parts_embeddings = parts_pooling(
-            spatial_features, parts_masks, self.pooling)             # [N,K,D]
+        # Optional Pallas fast path: one fused VMEM pass computes
+        # softmax + numerator/denominator for the background-GAP and
+        # parts-GWAP reductions (ops/pallas/pooling.py). Only valid when
+        # the masks really are softmax(pixel logits), i.e. learnable
+        # attention, no stripes and no test-time mask refinement.
+        fused = (self.use_pallas_pooling and self.pooling == 'gwap'
+                 and self.learnable_attention_enabled
+                 and not self.horizontal_stripes
+                 and (train or self.test_use_target_segmentation == 'none'))
+        if fused:
+            from bpbreid_tpu.ops.pallas.pooling import fused_attention_pool
+            num, den, _ = fused_attention_pool(spatial_features,
+                                               pixels_cls_scores)
+            background_embeddings = (num[:, 0] / (hf * wf)).astype(
+                spatial_features.dtype)
+            parts_embeddings = (
+                num[:, 1:] / jnp.clip(den[:, 1:], 1e-6, None)[..., None]
+            ).astype(spatial_features.dtype)                          # [N,K,D]
+        else:
+            background_embeddings = parts_pooling(
+                spatial_features, background_masks[..., None], 'gap')[:, 0]
+            parts_embeddings = parts_pooling(
+                spatial_features, parts_masks, self.pooling)          # [N,K,D]
 
         if self.use_after_reduce:
             global_embeddings = self.global_reduce(global_embeddings, train=train)
@@ -360,6 +380,7 @@ def bpbreid(num_classes, loss='part_based', pretrained=True, config=None,
         test_use_target_segmentation=mc.test_use_target_segmentation,
         training_binary_visibility_score=mc.training_binary_visibility_score,
         testing_binary_visibility_score=mc.testing_binary_visibility_score,
+        use_pallas_pooling=getattr(mc, 'use_pallas_pooling', False),
         dtype=dtype,
         **kwargs)
 

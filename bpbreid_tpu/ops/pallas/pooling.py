@@ -72,7 +72,17 @@ def fused_attention_pool(features, logits, d_tile=512, interpret=False,
 
     from jax.experimental import pallas as pl
 
-    d_tile = min(d_tile, d)
+    # keep the double-buffered [1, P, d_tile] feature block within the
+    # ~16MB scoped-VMEM budget (block + prefetch + f32 working copy)
+    bytes_per = jnp.dtype(feats.dtype).itemsize
+    fit = max(128, (4 * 1024 * 1024 // (p * bytes_per)) // 128 * 128)
+    d_tile = min(d_tile, d, fit)
+    # prefer a tile that divides D exactly — padding D to a multiple
+    # materializes a full padded copy of the feature map in HBM
+    for cand in range(d_tile, 127, -128):
+        if d % cand == 0:
+            d_tile = cand
+            break
     if d % d_tile:
         pad = (-d) % d_tile
         feats = jnp.pad(feats, ((0, 0), (0, 0), (0, pad)))

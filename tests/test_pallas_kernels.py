@@ -36,3 +36,23 @@ def test_fused_attention_pool_gwap_equivalence():
     want = gwap_pool(feats, probs)
     got = num / jnp.clip(den, 1e-6)[..., None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_bpbreid_use_pallas_pooling_flag_matches_default():
+    """BPBreID(use_pallas_pooling=True) produces the same embeddings as
+    the default XLA pooling path (same params; CPU exercises the
+    functional fallback, TPU the real kernel)."""
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    kw = dict(num_classes=7, parts_num=3, backbone='resnet18',
+              dim_reduce='after_pooling', dim_reduce_output=32)
+    base = BPBreID(**kw)
+    fused = BPBreID(use_pallas_pooling=True, **kw)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    variables = base.init(jax.random.PRNGKey(0), x)
+    out_a = base.apply(variables, x, train=False)
+    out_b = fused.apply(variables, x, train=False)
+    for key in (out_a[0] or {}):
+        np.testing.assert_allclose(np.asarray(out_a[0][key]),
+                                   np.asarray(out_b[0][key]),
+                                   atol=1e-4, err_msg=key)
