@@ -82,6 +82,7 @@ class BPBreIDCfg:
     testing_binary_visibility_score: bool = True
     shared_parts_id_classifier: bool = False
     use_pallas_pooling: bool = False
+    multires_pooling: bool = True
     hrnet_pretrained_path: str = 'pretrained_models/'
     masks: MasksCfg = field(default_factory=MasksCfg)
 

@@ -37,7 +37,8 @@ from bpbreid_tpu.constants import (
 )
 from bpbreid_tpu.models.common import BN_EPS, BN_MOMENTUM
 from bpbreid_tpu.ops.pooling import parts_pooling
-from bpbreid_tpu.ops.resize import resize_bilinear_align_corners
+from bpbreid_tpu.ops.resize import (
+    _linear_matrix_align_corners, resize_bilinear_align_corners)
 
 
 def _bn1d(x, train, name, dtype, use_bias=True):
@@ -131,17 +132,35 @@ class BPBreID(nn.Module):
     testing_binary_visibility_score: bool = True
     horizontal_stripes: bool = False
     use_pallas_pooling: bool = False
+    # Inference fast path for HRNet: GWAP/GAP pooling and the pixel
+    # classifier are linear in the features, and align-corners bilinear
+    # upsampling is a row-stochastic linear map, so
+    # ``pool(upsample(y), m) == pool(y, upsample_T(m))`` exactly. Pool
+    # each HRNet branch at its native resolution with transposed-resized
+    # masks and let XLA dead-code-eliminate the [N, H/4, W/4, 1920]
+    # upsampled concat map (the reference materializes it:
+    # torchreid/models/hrnet.py:532-545) — it dominates eval HBM traffic.
+    multires_pooling: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
         # attribute name == torch state_dict prefix (flax scopes by
         # attribute name for modules assigned in setup)
+        backbone_kwargs = {}
+        self._multires = (
+            self.multires_pooling and self.backbone == 'hrnet32'
+            and self.learnable_attention_enabled
+            and not self.horizontal_stripes
+            and self.pooling in ('gwap', 'gap')
+            and self.dim_reduce != 'before_pooling')
+        if self._multires:
+            backbone_kwargs['return_branches'] = True
         self.backbone_appearance_feature_extractor = model_registry.build_model(
             self.backbone, self.num_classes, loss='part_based',
             pretrained=False, last_stride=self.last_stride,
             enable_dim_reduction=(self.dim_reduce == 'before_pooling'),
             dim_reduction_channels=self.dim_reduce_output,
-            dtype=self.dtype)
+            dtype=self.dtype, **backbone_kwargs)
         spatial_dim = self.backbone_appearance_feature_extractor.feature_dim
 
         self.use_before_reduce = (
@@ -200,6 +219,12 @@ class BPBreID(nn.Module):
         K = self.parts_num
         spatial_features = self.backbone_appearance_feature_extractor(
             images, train=train)                           # [N,Hf,Wf,D]
+        branch_features = None
+        if isinstance(spatial_features, tuple):
+            spatial_features, branch_features = spatial_features
+        multires = (getattr(self, '_multires', False) and not train
+                    and branch_features is not None
+                    and self.test_use_target_segmentation == 'none')
         if self.use_before_reduce:
             spatial_features = self.before_pooling_dim_reduce(
                 spatial_features, train=train)
@@ -216,8 +241,16 @@ class BPBreID(nn.Module):
             probs = jnp.concatenate([background, stripes], axis=-1)
             probs = jnp.broadcast_to(probs[None], (n, hf, wf, K + 1))
         elif self.learnable_attention_enabled:
-            pixels_cls_scores = self.pixel_classifier(spatial_features,
-                                                      train=train)
+            if multires:
+                # trace once on the concat map so the classifier params
+                # exist; the unused output (and with it the whole
+                # upsample+concat) is dead-code-eliminated by XLA
+                _ = self.pixel_classifier(spatial_features, train=train)
+                pixels_cls_scores = self._pixel_logits_from_branches(
+                    branch_features, hf, wf)
+            else:
+                pixels_cls_scores = self.pixel_classifier(spatial_features,
+                                                          train=train)
             probs = jax.nn.softmax(pixels_cls_scores, axis=-1)
         else:
             if external_parts_masks is None:
@@ -266,32 +299,47 @@ class BPBreID(nn.Module):
         # ------------------------------------------------------------------
         # pooling (fused einsum; ops/pooling.py)
         # ------------------------------------------------------------------
-        global_embeddings = spatial_features.mean(axis=(1, 2))       # [N, D]
-        foreground_embeddings = parts_pooling(
-            spatial_features, foreground_masks[..., None], 'gap')[:, 0]
-        # Optional Pallas fast path: one fused VMEM pass computes
-        # softmax + numerator/denominator for the background-GAP and
-        # parts-GWAP reductions (ops/pallas/pooling.py). Only valid when
-        # the masks really are softmax(pixel logits), i.e. learnable
-        # attention, no stripes and no test-time mask refinement.
-        fused = (self.use_pallas_pooling and self.pooling == 'gwap'
-                 and self.learnable_attention_enabled
-                 and not self.horizontal_stripes
-                 and (train or self.test_use_target_segmentation == 'none'))
-        if fused:
-            from bpbreid_tpu.ops.pallas.pooling import fused_attention_pool
-            num, den, _ = fused_attention_pool(spatial_features,
-                                               pixels_cls_scores)
-            background_embeddings = (num[:, 0] / (hf * wf)).astype(
-                spatial_features.dtype)
-            parts_embeddings = (
-                num[:, 1:] / jnp.clip(den[:, 1:], 1e-6, None)[..., None]
-            ).astype(spatial_features.dtype)                          # [N,K,D]
+        if multires:
+            # pool every stream per HRNet branch at native resolution
+            # (see multires_pooling docstring): stack the full-res masks
+            # [ones | foreground | background | parts], transpose-resize
+            # them to each branch's grid, and contract there. Exactly
+            # equal to pooling the upsampled concat map.
+            stack = jnp.concatenate([
+                jnp.ones_like(foreground_masks)[..., None],
+                foreground_masks[..., None],
+                background_masks[..., None],
+                parts_masks], axis=-1).astype(jnp.float32)   # [N,Hf,Wf,K+3]
+            nums = []
+            for y in branch_features:
+                h_i, w_i = y.shape[1], y.shape[2]
+                if (h_i, w_i) == (hf, wf):
+                    adj = stack
+                else:
+                    mh = jnp.asarray(_linear_matrix_align_corners(h_i, hf))
+                    mw = jnp.asarray(_linear_matrix_align_corners(w_i, wf))
+                    adj = jnp.einsum('qh,nqpc,pw->nhwc', mh, stack, mw,
+                                     precision=jax.lax.Precision.HIGHEST)
+                nums.append(jnp.einsum(
+                    'nhwc,nhwd->ncd', adj, y.astype(jnp.float32),
+                    preferred_element_type=jnp.float32))
+            num = jnp.concatenate(nums, axis=-1)             # [N,K+3,D]
+            dt = branch_features[0].dtype
+            area = hf * wf
+            global_embeddings = (num[:, 0] / area).astype(dt)
+            foreground_embeddings = (num[:, 1] / area).astype(dt)
+            background_embeddings = (num[:, 2] / area).astype(dt)
+            if self.pooling == 'gwap':
+                den = jnp.clip(parts_masks.astype(jnp.float32).sum(
+                    axis=(1, 2)), 1e-6, None)                # [N,K]
+                parts_embeddings = (num[:, 3:] / den[..., None]).astype(dt)
+            else:
+                parts_embeddings = (num[:, 3:] / area).astype(dt)
         else:
-            background_embeddings = parts_pooling(
-                spatial_features, background_masks[..., None], 'gap')[:, 0]
-            parts_embeddings = parts_pooling(
-                spatial_features, parts_masks, self.pooling)          # [N,K,D]
+            global_embeddings, foreground_embeddings, background_embeddings, \
+                parts_embeddings = self._pool_materialized(
+                    spatial_features, foreground_masks, background_masks,
+                    parts_masks, pixels_cls_scores, train, hf, wf)
 
         if self.use_after_reduce:
             global_embeddings = self.global_reduce(global_embeddings, train=train)
@@ -343,6 +391,67 @@ class BPBreID(nn.Module):
         return (embeddings, visibility_scores, id_cls_scores,
                 pixels_cls_scores, spatial_features, masks)
 
+    def _pixel_logits_from_branches(self, branches, hf, wf):
+        """Pixel part logits without materializing the 1920-ch concat.
+
+        The pixel classifier is BN (running stats) + 1x1 conv — affine
+        per channel — so ``classifier(concat(upsample(y_i)))`` equals
+        ``sum_i upsample(y_i @ W'_i) + const`` with the BN folded into
+        per-branch kernel slices. Upsampling then touches only (K+1)-ch
+        maps. Exact for align-corners bilinear (rows sum to 1, so the
+        affine constant is upsample-invariant)."""
+        v = self.pixel_classifier.variables
+        bn_p, bn_s = v['params']['bn'], v['batch_stats']['bn']
+        a = bn_p['scale'] * jax.lax.rsqrt(bn_s['var'] + BN_EPS)
+        b = bn_p['bias'] - bn_s['mean'] * a
+        kernel = v['params']['classifier']['kernel'][0, 0]   # [D, K+1]
+        const = b @ kernel + v['params']['classifier']['bias']
+        logits, off = None, 0
+        for y in branches:
+            d = y.shape[-1]
+            w = a[off:off + d, None] * kernel[off:off + d]
+            part = jnp.einsum('nhwd,dk->nhwk', y.astype(jnp.float32), w,
+                              preferred_element_type=jnp.float32)
+            if part.shape[1:3] != (hf, wf):
+                part = resize_bilinear_align_corners(part, hf, wf)
+            logits = part if logits is None else logits + part
+            off += d
+        return (logits + const).astype(self.dtype)
+
+    def _pool_materialized(self, spatial_features, foreground_masks,
+                           background_masks, parts_masks, pixels_cls_scores,
+                           train, hf, wf):
+        """Default pooling over the materialized spatial feature map."""
+        global_embeddings = spatial_features.mean(axis=(1, 2))       # [N, D]
+        foreground_embeddings = parts_pooling(
+            spatial_features, foreground_masks[..., None], 'gap')[:, 0]
+        # Optional Pallas fast path: one fused VMEM pass computes
+        # softmax + numerator/denominator for the background-GAP and
+        # parts-GWAP reductions (ops/pallas/pooling.py). Only valid when
+        # the masks really are softmax(pixel logits), i.e. learnable
+        # attention, no stripes and no test-time mask refinement.
+        fused = (self.use_pallas_pooling and self.pooling == 'gwap'
+                 and self.learnable_attention_enabled
+                 and not self.horizontal_stripes
+                 and pixels_cls_scores is not None
+                 and (train or self.test_use_target_segmentation == 'none'))
+        if fused:
+            from bpbreid_tpu.ops.pallas.pooling import fused_attention_pool
+            num, den, _ = fused_attention_pool(spatial_features,
+                                               pixels_cls_scores)
+            background_embeddings = (num[:, 0] / (hf * wf)).astype(
+                spatial_features.dtype)
+            parts_embeddings = (
+                num[:, 1:] / jnp.clip(den[:, 1:], 1e-6, None)[..., None]
+            ).astype(spatial_features.dtype)                          # [N,K,D]
+        else:
+            background_embeddings = parts_pooling(
+                spatial_features, background_masks[..., None], 'gap')[:, 0]
+            parts_embeddings = parts_pooling(
+                spatial_features, parts_masks, self.pooling)          # [N,K,D]
+        return (global_embeddings, foreground_embeddings,
+                background_embeddings, parts_embeddings)
+
     def _parts_identity_classification(self, parts_embeddings, train):
         n, k, d = parts_embeddings.shape
         if self.shared_parts_id_classifier:
@@ -381,6 +490,7 @@ def bpbreid(num_classes, loss='part_based', pretrained=True, config=None,
         training_binary_visibility_score=mc.training_binary_visibility_score,
         testing_binary_visibility_score=mc.testing_binary_visibility_score,
         use_pallas_pooling=getattr(mc, 'use_pallas_pooling', False),
+        multires_pooling=getattr(mc, 'multires_pooling', True),
         dtype=dtype,
         **kwargs)
 

@@ -108,6 +108,14 @@ class HighResolutionNet(nn.Module):
     """HRNet-W32 trunk emitting the 1/4-scale 1920-ch feature map."""
     enable_dim_reduction: bool = False
     dim_reduction_channels: int = 512
+    # profiling aid: return early after the named segment
+    # ('stem' | 'layer1' | 'stage2' | 'stage3' | 'stage4')
+    profile_stop: Any = None
+    # also return the per-branch incre outputs (pre-upsample/concat) so
+    # heads that are linear in the features can pool each branch at its
+    # native resolution and let XLA dead-code-eliminate the 1920-ch
+    # upsampled concat map (see BPBreID.multires_pooling)
+    return_branches: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -124,7 +132,11 @@ class HighResolutionNet(nn.Module):
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype, name=name_b)(x)
             x = nn.relu(x)
+        if self.profile_stop == 'stem':
+            return x
         x = ResLayer(Bottleneck, 64, 4, dtype=self.dtype, name='layer1')(x, train)
+        if self.profile_stop == 'layer1':
+            return x
 
         prev_channels = [256]
         xs = [x]
@@ -156,6 +168,8 @@ class HighResolutionNet(nn.Module):
                     n_br, n_blocks, channels, multi_scale_output=True,
                     dtype=self.dtype, name='{}.{}'.format(stage, m))(xs, train)
             prev_channels = list(channels)
+            if self.profile_stop == stage:
+                return xs[0]
 
         # per-branch bottleneck "incre" heads: 32/64/128/256 -> 128/256/512/1024
         head_planes = (32, 64, 128, 256)
@@ -175,16 +189,20 @@ class HighResolutionNet(nn.Module):
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype, name='cls_head.1')(x)
             x = nn.relu(x)
+        if self.return_branches:
+            return x, tuple(ys)
         return x
 
 
 def hrnet32(num_classes=1000, loss='part_based', pretrained=True,
             enable_dim_reduction=True, dim_reduction_channels=256,
-            pretrained_path='', dtype=jnp.float32, **kwargs):
+            pretrained_path='', return_branches=False, dtype=jnp.float32,
+            **kwargs):
     """Constructor mirroring the reference
     (torchreid/models/hrnet.py:611-620). Pretrained weights are loaded
     separately through bpbreid_tpu.utils.torch_weights."""
     del num_classes, loss, pretrained, pretrained_path, kwargs
     return HighResolutionNet(enable_dim_reduction=enable_dim_reduction,
                              dim_reduction_channels=dim_reduction_channels,
+                             return_branches=return_branches,
                              dtype=dtype)

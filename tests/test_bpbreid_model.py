@@ -204,3 +204,38 @@ def test_full_bpbreid_parity_with_reference():
         np.testing.assert_allclose(
             np.asarray(cls[key]), r_cls[key].numpy(), atol=5e-3, rtol=5e-3,
             err_msg='cls[{}]'.format(key))
+
+
+def test_multires_pooling_matches_materialized():
+    """The HRNet inference fast path (pool each branch at native
+    resolution with transpose-resized masks, skip the 1920-ch concat)
+    must equal the materialized path exactly: embeddings, visibility
+    and pixel logits."""
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    kw = dict(num_classes=7, parts_num=5, backbone='hrnet32',
+              dim_reduce='after_pooling', dim_reduce_output=64)
+    base = BPBreID(multires_pooling=False, **kw)
+    fast = BPBreID(multires_pooling=True, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    vb = base.init(jax.random.PRNGKey(0), x)
+    vf = fast.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(vb) == jax.tree_util.tree_structure(vf)
+    out_a = base.apply(vb, x, train=False)
+    out_b = fast.apply(vb, x, train=False)
+    for key in out_a[0]:
+        np.testing.assert_allclose(np.asarray(out_a[0][key]),
+                                   np.asarray(out_b[0][key]),
+                                   atol=2e-4, rtol=1e-3, err_msg=key)
+    np.testing.assert_allclose(np.asarray(out_a[3]), np.asarray(out_b[3]),
+                               atol=2e-4, rtol=1e-3)
+    for key in out_a[1]:
+        np.testing.assert_allclose(np.asarray(out_a[1][key]),
+                                   np.asarray(out_b[1][key]),
+                                   atol=2e-4, err_msg='vis ' + key)
+    # train mode must keep using the materialized path (BN batch stats
+    # over the concat map) and still work with the tuple-returning backbone
+    out_t = fast.apply(vb, x, train=True,
+                       mutable=['batch_stats'],
+                       rngs={'dropout': jax.random.PRNGKey(1)})
+    assert out_t[0][0]['parts'].shape == (2, 5, 64)
