@@ -96,3 +96,34 @@ class StdoutLogger:
     def close(self):
         if self.file is not None:
             self.file.close()
+
+
+class RankLogger:
+    """Records rank-1 over epochs per target dataset and prints a
+    summary with the best epoch (reference:
+    torchreid/utils/loggers.py RankLogger, deprecated_loggers.py:96-146)."""
+
+    def __init__(self, sources, targets):
+        self.sources = [sources] if isinstance(sources, str) else list(sources)
+        self.targets = [targets] if isinstance(targets, str) else list(targets)
+        self.logger = {name: {'epoch': [], 'rank1': []}
+                       for name in self.targets}
+
+    def write(self, name, epoch, rank1):
+        self.logger[name]['epoch'].append(epoch)
+        self.logger[name]['rank1'].append(rank1)
+
+    def show_summary(self):
+        print('=> Show performance summary')
+        for name in self.targets:
+            from_where = 'source' if name in self.sources else 'target'
+            print('{} ({})'.format(name, from_where))
+            for epoch, rank1 in zip(self.logger[name]['epoch'],
+                                    self.logger[name]['rank1']):
+                print('- epoch {}\t rank1 {:.1%}'.format(epoch, rank1))
+            if self.logger[name]['rank1']:
+                import numpy as _np
+                best = int(_np.argmax(self.logger[name]['rank1']))
+                print('  best: epoch {} rank1 {:.1%}'.format(
+                    self.logger[name]['epoch'][best],
+                    self.logger[name]['rank1'][best]))

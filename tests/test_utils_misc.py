@@ -171,3 +171,24 @@ def test_compact_bilinear_pooling():
     k_est = (zx * zy).sum(-1)
     corr = np.corrcoef(k_true, k_est)[0, 1]
     assert corr > 0.8, corr
+
+
+def test_tools_and_ranklogger():
+    from bpbreid_tpu.utils.tools import (check_isfile, collect_env_info,
+                                         mkdir_if_missing, read_json,
+                                         set_random_seed, write_json)
+    from bpbreid_tpu.utils.logging import RankLogger
+    import tempfile, os.path as osp
+    with tempfile.TemporaryDirectory() as d:
+        mkdir_if_missing(osp.join(d, 'a/b'))
+        assert osp.isdir(osp.join(d, 'a/b'))
+        write_json({'x': 1}, osp.join(d, 'a/x.json'))
+        assert read_json(osp.join(d, 'a/x.json')) == {'x': 1}
+        assert check_isfile(osp.join(d, 'a/x.json'))
+    set_random_seed(0)
+    info = collect_env_info()
+    assert 'jax' in info and 'numpy' in info
+    r = RankLogger('market1501', ['market1501'])
+    r.write('market1501', 10, 0.8)
+    r.write('market1501', 20, 0.9)
+    r.show_summary()
