@@ -9,7 +9,8 @@ their outputs for the numbers to mean anything (the engine does).
 import time
 from collections import defaultdict
 
-__all__ = ['AverageMeter', 'MetricsSummary', 'TimeMeter']
+__all__ = ['AverageMeter', 'SingleMeter', 'EpochMeter', 'EpochArrayMeter',
+           'LossEpochMetricsMeter', 'MetricsSummary', 'TimeMeter']
 
 
 class AverageMeter:
@@ -74,3 +75,71 @@ class TimeMeter:
     @property
     def avg(self):
         return self.meter.avg
+
+
+class SingleMeter:
+    """Holds the latest value only (reference: avgmeter.py SingleMeter)."""
+
+    def __init__(self):
+        self.val = 0.0
+
+    def update(self, val):
+        self.val = float(val)
+
+
+class EpochMeter:
+    """Per-epoch list of scalar values; ``epoch_average`` summarizes
+    (reference: avgmeter.py EpochMeter)."""
+
+    def __init__(self):
+        self.values = defaultdict(list)
+
+    def update(self, val, epoch):
+        self.values[int(epoch)].append(float(val))
+
+    def epoch_average(self, epoch):
+        vals = self.values.get(int(epoch), [])
+        return sum(vals) / len(vals) if vals else 0.0
+
+    def total_average(self):
+        vals = [v for ep in self.values.values() for v in ep]
+        return sum(vals) / len(vals) if vals else 0.0
+
+
+class EpochArrayMeter:
+    """Per-epoch list of fixed-size arrays, e.g. per-part statistics
+    (reference: avgmeter.py EpochArrayMeter)."""
+
+    def __init__(self, size):
+        self.size = size
+        self.values = defaultdict(list)
+
+    def update(self, arr, epoch):
+        import numpy as np
+        arr = np.asarray(arr, dtype=float).reshape(-1)
+        assert arr.size == self.size, (arr.size, self.size)
+        self.values[int(epoch)].append(arr)
+
+    def epoch_average(self, epoch):
+        import numpy as np
+        vals = self.values.get(int(epoch), [])
+        return (np.stack(vals).mean(axis=0) if vals
+                else np.zeros(self.size))
+
+
+class LossEpochMetricsMeter:
+    """loss-group -> metric-name -> EpochMeter tree
+    (reference: avgmeter.py LossEpochMetricsMeter)."""
+
+    def __init__(self):
+        self.meters = defaultdict(lambda: defaultdict(EpochMeter))
+
+    def update(self, summary, epoch):
+        for group, metrics in summary.items():
+            for name, value in metrics.items():
+                self.meters[group][name].update(value, epoch)
+
+    def epoch_average(self, epoch):
+        return {group: {name: m.epoch_average(epoch)
+                        for name, m in metrics.items()}
+                for group, metrics in self.meters.items()}
