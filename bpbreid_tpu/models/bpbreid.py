@@ -62,18 +62,136 @@ class BNClassifier(nn.Module):
         return feature, scores
 
 
+class _BNParams(nn.Module):
+    """Parameter/stat container matching nn.BatchNorm's tree layout
+    (params: scale/bias, batch_stats: mean/var)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param('scale', nn.initializers.ones, (self.features,))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((self.features,)))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((self.features,)))
+        return scale, bias, ra_mean, ra_var
+
+
+class _Conv1x1Params(nn.Module):
+    """Parameter container matching nn.Conv's tree layout."""
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (1, 1, self.in_features, self.out_features))
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.out_features,))
+        return kernel, bias
+
+
 class PixelToPartClassifier(nn.Module):
     """2-D batchnorm + 1x1 conv -> K+1 per-pixel part logits
-    (reference: bpbreid.py:376-395)."""
+    (reference: bpbreid.py:376-395).
+
+    Two call modes with one parameter tree (identical to the
+    nn.BatchNorm + nn.Conv layout so torch-weight conversion is
+    unchanged):
+
+    - ``__call__(x, train)``: the materialized path over the
+      [N, Hf, Wf, D] concat map, exact nn.BatchNorm semantics.
+    - ``__call__(branches=..., out_hw=(Hf, Wf), train=...)``: the
+      multi-resolution path. BN + 1x1 conv are affine per channel and
+      commute with align-corners bilinear upsampling (rows sum to 1),
+      so logits are computed per HRNet branch at native resolution with
+      the BN folded into sliced kernels, and only (K+1)-channel maps are
+      upsampled. In train mode the batch statistics of the VIRTUAL
+      upsampled concat are computed without materializing it: the mean
+      is linear in each branch, and E[(A y B^T)^2] per channel equals
+      tr(G_h y G_w y^T)/P with the Gram matrices G = A^T A of the
+      static interpolation operators. Exactly equal to the materialized
+      path; running stats are updated identically.
+    """
     parts_num: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train=False):
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name='bn')(x)
-        return nn.Conv(self.parts_num + 1, (1, 1), use_bias=True,
-                       dtype=self.dtype, name='classifier')(x)
+    def __call__(self, x=None, train=False, branches=None, out_hw=None):
+        if branches is not None:
+            channels = sum(b.shape[-1] for b in branches)
+        else:
+            channels = x.shape[-1]
+        k1 = self.parts_num + 1
+        scale, beta, ra_mean, ra_var = _BNParams(channels, name='bn')()
+        kernel, cbias = _Conv1x1Params(channels, k1, name='classifier')()
+
+        if branches is None:
+            if train:
+                xf = x.astype(jnp.float32)
+                mean = xf.mean(axis=(0, 1, 2))
+                var = (xf * xf).mean(axis=(0, 1, 2)) - mean * mean
+            else:
+                mean, var = ra_mean.value, ra_var.value
+        else:
+            hf, wf = out_hw
+            p = hf * wf
+            n = branches[0].shape[0]
+            if train:
+                means, e2s = [], []
+                for y in branches:
+                    h_i, w_i = y.shape[1], y.shape[2]
+                    a = _linear_matrix_align_corners(h_i, hf)  # [hf, h_i]
+                    b = _linear_matrix_align_corners(w_i, wf)
+                    mh, mw = jnp.asarray(a.sum(0)), jnp.asarray(b.sum(0))
+                    gh = jnp.asarray(a.T @ a)
+                    gw = jnp.asarray(b.T @ b)
+                    yf = y.astype(jnp.float32)
+                    means.append(
+                        jnp.einsum('nhwc,h,w->c', yf, mh, mw,
+                                   precision=jax.lax.Precision.HIGHEST)
+                        / (n * p))
+                    t = jnp.einsum('nhwc,hk->nkwc', yf, gh,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    e2s.append(
+                        jnp.einsum('nkwc,wl,nklc->c', t, gw, yf,
+                                   precision=jax.lax.Precision.HIGHEST)
+                        / (n * p))
+                mean = jnp.concatenate(means)
+                var = jnp.concatenate(e2s) - mean * mean
+            else:
+                mean, var = ra_mean.value, ra_var.value
+
+        if train and not self.is_initializing():
+            ra_mean.value = (BN_MOMENTUM * ra_mean.value
+                             + (1.0 - BN_MOMENTUM) * mean)
+            ra_var.value = (BN_MOMENTUM * ra_var.value
+                            + (1.0 - BN_MOMENTUM) * var)
+
+        if branches is None:
+            # exact nn.BatchNorm op order in compute dtype
+            xd = x.astype(self.dtype)
+            mul = (jax.lax.rsqrt(var + BN_EPS) * scale).astype(self.dtype)
+            y = (xd - mean.astype(self.dtype)) * mul + beta.astype(self.dtype)
+            return jnp.einsum('nhwc,cd->nhwd', y, kernel[0, 0].astype(
+                self.dtype)) + cbias.astype(self.dtype)
+
+        a_full = scale * jax.lax.rsqrt(var + BN_EPS)
+        b_full = beta - mean * a_full
+        w_mat = kernel[0, 0]                                   # [D, K+1]
+        const = b_full @ w_mat + cbias
+        logits, off = None, 0
+        for y in branches:
+            d = y.shape[-1]
+            w_i = a_full[off:off + d, None] * w_mat[off:off + d]
+            part = jnp.einsum('nhwd,dk->nhwk', y.astype(jnp.float32), w_i,
+                              preferred_element_type=jnp.float32)
+            if part.shape[1:3] != (hf, wf):
+                part = resize_bilinear_align_corners(part, hf, wf)
+            logits = part if logits is None else logits + part
+            off += d
+        return (logits + const).astype(self.dtype)
 
 
 class AfterPoolingDimReduce(nn.Module):
@@ -222,9 +340,10 @@ class BPBreID(nn.Module):
         branch_features = None
         if isinstance(spatial_features, tuple):
             spatial_features, branch_features = spatial_features
-        multires = (getattr(self, '_multires', False) and not train
+        multires = (getattr(self, '_multires', False)
                     and branch_features is not None
-                    and self.test_use_target_segmentation == 'none')
+                    and (train or
+                         self.test_use_target_segmentation == 'none'))
         if self.use_before_reduce:
             spatial_features = self.before_pooling_dim_reduce(
                 spatial_features, train=train)
@@ -242,12 +361,10 @@ class BPBreID(nn.Module):
             probs = jnp.broadcast_to(probs[None], (n, hf, wf, K + 1))
         elif self.learnable_attention_enabled:
             if multires:
-                # trace once on the concat map so the classifier params
-                # exist; the unused output (and with it the whole
-                # upsample+concat) is dead-code-eliminated by XLA
-                _ = self.pixel_classifier(spatial_features, train=train)
-                pixels_cls_scores = self._pixel_logits_from_branches(
-                    branch_features, hf, wf)
+                # per-branch logits + virtual BN stats; the unused
+                # upsample+concat map is dead-code-eliminated by XLA
+                pixels_cls_scores = self.pixel_classifier(
+                    train=train, branches=branch_features, out_hw=(hf, wf))
             else:
                 pixels_cls_scores = self.pixel_classifier(spatial_features,
                                                           train=train)
@@ -390,33 +507,6 @@ class BPBreID(nn.Module):
         }
         return (embeddings, visibility_scores, id_cls_scores,
                 pixels_cls_scores, spatial_features, masks)
-
-    def _pixel_logits_from_branches(self, branches, hf, wf):
-        """Pixel part logits without materializing the 1920-ch concat.
-
-        The pixel classifier is BN (running stats) + 1x1 conv — affine
-        per channel — so ``classifier(concat(upsample(y_i)))`` equals
-        ``sum_i upsample(y_i @ W'_i) + const`` with the BN folded into
-        per-branch kernel slices. Upsampling then touches only (K+1)-ch
-        maps. Exact for align-corners bilinear (rows sum to 1, so the
-        affine constant is upsample-invariant)."""
-        v = self.pixel_classifier.variables
-        bn_p, bn_s = v['params']['bn'], v['batch_stats']['bn']
-        a = bn_p['scale'] * jax.lax.rsqrt(bn_s['var'] + BN_EPS)
-        b = bn_p['bias'] - bn_s['mean'] * a
-        kernel = v['params']['classifier']['kernel'][0, 0]   # [D, K+1]
-        const = b @ kernel + v['params']['classifier']['bias']
-        logits, off = None, 0
-        for y in branches:
-            d = y.shape[-1]
-            w = a[off:off + d, None] * kernel[off:off + d]
-            part = jnp.einsum('nhwd,dk->nhwk', y.astype(jnp.float32), w,
-                              preferred_element_type=jnp.float32)
-            if part.shape[1:3] != (hf, wf):
-                part = resize_bilinear_align_corners(part, hf, wf)
-            logits = part if logits is None else logits + part
-            off += d
-        return (logits + const).astype(self.dtype)
 
     def _pool_materialized(self, spatial_features, foreground_masks,
                            background_masks, parts_masks, pixels_cls_scores,

@@ -239,3 +239,48 @@ def test_multires_pooling_matches_materialized():
                        mutable=['batch_stats'],
                        rngs={'dropout': jax.random.PRNGKey(1)})
     assert out_t[0][0]['parts'].shape == (2, 5, 64)
+
+
+def test_multires_pooling_train_mode_matches():
+    """Training through the multi-resolution path must match the
+    materialized path: outputs, the pixel classifier's VIRTUAL BN batch
+    statistics (computed per branch via interpolation Gram matrices),
+    and gradients."""
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    kw = dict(num_classes=7, parts_num=5, backbone='hrnet32',
+              dim_reduce='after_pooling', dim_reduce_output=64)
+    base = BPBreID(multires_pooling=False, **kw)
+    fast = BPBreID(multires_pooling=True, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    vb = base.init(jax.random.PRNGKey(0), x)
+    r = {'dropout': jax.random.PRNGKey(1)}
+    out_a, nv_a = base.apply(vb, x, train=True, mutable=['batch_stats'],
+                             rngs=r)
+    out_b, nv_b = fast.apply(vb, x, train=True, mutable=['batch_stats'],
+                             rngs=r)
+    for key in out_a[0]:
+        np.testing.assert_allclose(np.asarray(out_a[0][key]),
+                                   np.asarray(out_b[0][key]),
+                                   atol=5e-4, rtol=2e-3, err_msg=key)
+    np.testing.assert_allclose(np.asarray(out_a[3]), np.asarray(out_b[3]),
+                               atol=5e-4, rtol=2e-3, err_msg='pixel logits')
+    sa = nv_a['batch_stats']['pixel_classifier']['bn']
+    sb = nv_b['batch_stats']['pixel_classifier']['bn']
+    np.testing.assert_allclose(np.asarray(sa['mean']), np.asarray(sb['mean']),
+                               atol=1e-5, rtol=1e-4, err_msg='bn mean')
+    np.testing.assert_allclose(np.asarray(sa['var']), np.asarray(sb['var']),
+                               atol=1e-5, rtol=1e-4, err_msg='bn var')
+
+    def loss(p, model):
+        out = model.apply({'params': p, 'batch_stats': vb['batch_stats']},
+                          x, train=True, mutable=['batch_stats'], rngs=r)[0]
+        return (out[0]['parts'].astype(jnp.float32) ** 2).mean() + \
+               (out[3].astype(jnp.float32) ** 2).mean()
+    ga = jax.grad(loss)(vb['params'], base)
+    gb = jax.grad(loss)(vb['params'], fast)
+    for (pa, a), (_, b) in zip(jax.tree_util.tree_leaves_with_path(ga),
+                               jax.tree_util.tree_leaves_with_path(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-2, rtol=5e-2,
+                                   err_msg=jax.tree_util.keystr(pa))

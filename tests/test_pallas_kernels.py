@@ -56,3 +56,21 @@ def test_bpbreid_use_pallas_pooling_flag_matches_default():
         np.testing.assert_allclose(np.asarray(out_a[0][key]),
                                    np.asarray(out_b[0][key]),
                                    atol=1e-4, err_msg=key)
+
+
+def test_fused_basicblock_chain_interpret():
+    """Experimental fused residual-chain kernel matches the XLA
+    reference semantics (interpret mode on CPU)."""
+    from bpbreid_tpu.ops.pallas.conv_chain import (
+        basicblock_chain_reference, fused_basicblock_chain)
+    rng = np.random.default_rng(0)
+    n, h, w, c, blocks = 2, 8, 4, 32, 2
+    x = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    ws = jnp.asarray(
+        rng.normal(size=(2 * blocks, 3, 3, c, c)).astype(np.float32) * 0.05)
+    s = jnp.asarray(
+        rng.normal(size=(2 * blocks, c)).astype(np.float32) * 0.1 + 1)
+    b = jnp.asarray(rng.normal(size=(2 * blocks, c)).astype(np.float32) * 0.1)
+    ref = basicblock_chain_reference(x, ws, s, b)
+    got = fused_basicblock_chain(x, ws, s, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
