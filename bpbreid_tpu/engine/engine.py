@@ -131,7 +131,8 @@ class Engine:
         print('Elapsed {:.0f}s'.format(elapsed))
         if self.writer is not None:
             self.writer.report_performance(cmc, mAP, ssmd, pxl_acc)
-            self.writer.run_completed()
+        # the Writer listens on the engine-state bus and prints its
+        # timing table from the run_completed event
         self.engine_state.run_completed()
         return cmc, mAP, ssmd, pxl_acc
 
