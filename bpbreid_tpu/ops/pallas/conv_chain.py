@@ -1,12 +1,21 @@
 """Pallas TPU kernel: fused residual BasicBlock chain at inference.
 
-STATUS: experimental, not wired into the model. The im2col lane-dim
-concat of shifted slices is rejected by current Mosaic ("result/input
-offset mismatch on non-concat dimension"), and profiling shows XLA
-already lays these convs out batch-on-lanes at ~70%% of HBM roofline,
-so the expected win is modest until the kernel can use an
-aligned-patch formulation. Kept (with interpret-mode tests) as the
-starting point for round-2 kernel work.
+STATUS: experimental, not wired into the model. Two formulations were
+measured on v5e (batch 256, 96x32x32, 4 blocks):
+
+1. [HW, 9C] im2col (this file): rejected by current Mosaic — the
+   lane-dim concat of shifted slices hits "result/input offset
+   mismatch on non-concat dimension" for C < 128.
+2. Pixels-on-lanes [C, HW] with taps as supported lane rotations and a
+   sublane tap concat ([C, 9C] @ [9C, HW]): compiles and is bit-exact,
+   but measured SLOWER than XLA (5.7ms vs 3.2ms) — the M=C matmul pads
+   to 128 rows on the MXU and the 9-tap VPU edge-masking outweighs the
+   saved HBM round-trips.
+
+Conclusion: XLA's conv lowering (batch-on-lanes, ~70% of HBM roofline
+per the per-op profile) is already strong for these shapes; revisit
+only with an int8 path (half the bytes, 2x MXU peak) where the fused
+chain would amortize the quantize/dequantize steps.
 
 HRNet's high-resolution branches run long chains of 3x3 convs on small
 maps (96x32x32 ... 12x4x256). Per conv the whole-batch tensor is only
