@@ -363,6 +363,21 @@ class ImagePartBasedEngine(Engine):
             distmat, q_pids, g_pids, 'Query-gallery')
         print('SSMD = {:.4f}'.format(ssmd))
 
+        if visrank and hasattr(self.datamanager, 'test_dataset') \
+                and dataset_name in self.datamanager.test_dataset:
+            # top-k ranking grids per query with match highlighting
+            # (reference: part_based_engine.py visualize_ranked_results)
+            from bpbreid_tpu.utils.visualization.rankings import (
+                visualize_ranking_grid)
+            tds = self.datamanager.test_dataset[dataset_name]
+            out_dir = osp.join(save_dir, 'visrank_{}'.format(dataset_name))
+            paths = visualize_ranking_grid(
+                distmat, tds['query'].query, tds['gallery'].gallery,
+                out_dir, topk=visrank_topk, q_idx_list=visrank_q_idx_list,
+                count=visrank_count, mAP=mAP, rank1=float(cmc[0]),
+                dataset_name=dataset_name)
+            print('Saved {} ranking grids to {}'.format(len(paths), out_dir))
+
         if self.writer is not None:
             self.writer.report_eval(dataset_name, cmc, mAP, ssmd)
         return cmc, mAP, ssmd, avg_pxl_acc

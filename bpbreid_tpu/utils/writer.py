@@ -97,7 +97,7 @@ class Writer(EngineStateListener):
         for t in timers:
             if t.meter.count:
                 print('{:<28} {:>10.2f} {:>10.4f} {:>8}'.format(
-                    t.name, t.total, t.avg, t.meter.count))
+                    t.name, t.meter.sum, t.avg, t.meter.count))
 
 
 class ProfilerTrace:
