@@ -325,6 +325,9 @@ class ImagePartBasedEngine(Engine):
             self.batch_size_pairwise_dist_matrix, metric=dist_metric)
         distmat = np.asarray(distmat)
         body_parts_distmat = np.asarray(body_parts_distmat)
+        if self.writer is not None:
+            self.writer.qg_pairwise_dist_statistics(
+                distmat, body_parts_distmat, q_vis, g_vis)
 
         if rerank:
             from bpbreid_tpu.utils.rerank import re_ranking
@@ -377,6 +380,27 @@ class ImagePartBasedEngine(Engine):
                 count=visrank_count, mAP=mAP, rank1=float(cmc[0]),
                 dataset_name=dataset_name)
             print('Saved {} ranking grids to {}'.format(len(paths), out_dir))
+
+        if save_features and save_dir:
+            # dump part-based features for offline use
+            # (reference: engine.py save_features -> features.pth per set)
+            import os
+            feat_dir = osp.join(save_dir, 'features_{}'.format(dataset_name))
+            os.makedirs(feat_dir, exist_ok=True)
+            np.savez(osp.join(feat_dir, 'features.npz'),
+                     qf=qf, gf=gf, q_vis=q_vis, g_vis=g_vis,
+                     q_pids=q_pids, g_pids=g_pids,
+                     q_camids=q_camids, g_camids=g_camids)
+            print('Saved features to {}'.format(feat_dir))
+
+        if self.config is not None and getattr(
+                self.config.test, 'vis_embedding_projection', False):
+            from bpbreid_tpu.utils.visualization.embeddings import (
+                visualize_embeddings_projection)
+            visualize_embeddings_projection(
+                qf, gf, q_pids, g_pids,
+                osp.join(save_dir, 'embeddings_{}'.format(dataset_name)),
+                dataset_name=dataset_name)
 
         if self.writer is not None:
             self.writer.report_eval(dataset_name, cmc, mAP, ssmd)

@@ -22,6 +22,8 @@ class Writer(EngineStateListener):
         self.losses = MetricsSummary()
         self.invalid_pairs_meter = AverageMeter()
         self.used_parts = None
+        self.parts_usage = {}
+        self.qg_stats = {}
         # phase timers (reference: writer.py:43-52)
         self.total_run_timer = TimeMeter('total run')
         self.epoch_timer = TimeMeter('epoch')
@@ -58,10 +60,39 @@ class Writer(EngineStateListener):
             pass
 
     def used_parts_statistics(self, parts_count, part_id):
-        pass
+        """Per-part usage counts during training
+        (reference: writer.py used_parts_statistics)."""
+        try:
+            self.parts_usage[int(part_id)] = \
+                self.parts_usage.get(int(part_id), 0) + int(parts_count)
+        except Exception:
+            pass
 
-    def qg_pairwise_dist_statistics(self, pairwise_dist, bp_dist, q_vis, g_vis):
-        pass
+    def qg_pairwise_dist_statistics(self, pairwise_dist, bp_dist, q_vis,
+                                    g_vis):
+        """Query-gallery distance / visibility statistics at eval
+        (reference: writer.py:172-186)."""
+        try:
+            d = np.asarray(pairwise_dist)
+            valid = d[d != -1]
+            stats = {
+                'qg_dist_mean': float(valid.mean()) if valid.size else 0.0,
+                'qg_dist_std': float(valid.std()) if valid.size else 0.0,
+                'qg_invalid_frac': float((d == -1).mean()),
+                'q_vis_mean': float(np.asarray(q_vis).mean())
+                              if q_vis is not None else 1.0,
+                'g_vis_mean': float(np.asarray(g_vis).mean())
+                              if g_vis is not None else 1.0,
+            }
+            self.qg_stats = stats
+            if self.logger is not None:
+                for k, v in stats.items():
+                    self.logger.add_scalar('eval/{}'.format(k), v)
+            print('Query-gallery distance stats: mean {qg_dist_mean:.4f} '
+                  'std {qg_dist_std:.4f} invalid {qg_invalid_frac:.2%}'.format(
+                      **stats))
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     def report_eval(self, dataset_name, cmc, mAP, ssmd):
