@@ -266,7 +266,34 @@ class ImagePartBasedEngine(Engine):
             self.state, imgs, masks, pids, rng,
             freeze_base=self._freeze_base)
         summary = jax.tree_util.tree_map(float, loss_summary)
+
+        freq = getattr(self.config.train, 'batch_debug_freq', 0) \
+            if self.config is not None else 0
+        if freq and self.engine_state.global_step % freq == 0:
+            self._debug_visualize_batch(batch)
         return float(loss), summary
+
+    def _debug_visualize_batch(self, batch, max_samples=4):
+        """Per-batch feature-map/part-mask debug dump, gated by
+        cfg.train.batch_debug_freq (reference: part_based_engine.py:84)."""
+        try:
+            from bpbreid_tpu.utils.visualization import display_feature_maps
+            imgs = jnp.asarray(batch['image'][:max_samples])
+            masks = jnp.asarray(batch['mask'][:max_samples]) \
+                if 'mask' in batch else None
+            emb, vis, _idc, _pix, spatial, out_masks = self.model.apply(
+                {'params': self.state.params,
+                 'batch_stats': self.state.batch_stats},
+                imgs, masks, train=False)
+            base_dir = (self.config.data.save_dir
+                        if self.config is not None else '.') or '.'
+            save_dir = osp.join(base_dir, 'debug_feature_maps')
+            display_feature_maps(
+                emb, spatial, out_masks[PARTS],
+                batch.get('img_path', [''] * max_samples),
+                batch['pid'][:max_samples], save_dir=save_dir)
+        except Exception as e:                        # debug-only path
+            print('feature-map debug visualization failed: {}'.format(e))
 
     def _feature_extraction(self, loader):
         f_, vis_, pids_, camids_ = [], [], [], []
