@@ -5,6 +5,13 @@ from bpbreid_tpu.data.datasets import (
     register_image_dataset,
 )
 from bpbreid_tpu.data.loader import BatchLoader
+from bpbreid_tpu.data.video import (
+    VideoDataManager,
+    VideoDataset,
+    init_video_dataset,
+    register_video_dataset,
+)
+import bpbreid_tpu.data.datasets.video_datasets  # noqa: F401  (registry)
 from bpbreid_tpu.data.sampler import (
     RandomIdentitySampler,
     RandomSampler,
