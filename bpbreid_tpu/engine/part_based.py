@@ -278,9 +278,13 @@ class ImagePartBasedEngine(Engine):
         cfg.train.batch_debug_freq (reference: part_based_engine.py:84)."""
         try:
             from bpbreid_tpu.utils.visualization import display_feature_maps
-            imgs = jnp.asarray(batch['image'][:max_samples])
-            masks = jnp.asarray(batch['mask'][:max_samples]) \
-                if 'mask' in batch else None
+            imgs_u8 = jnp.asarray(batch['image'])
+            raw_masks = jnp.asarray(batch['mask']) if 'mask' in batch \
+                else None
+            imgs, masks = eval_preprocess(imgs_u8, raw_masks,
+                                          norm_mean=self.norm_mean,
+                                          norm_std=self.norm_std,
+                                          mask_kwargs=self.mask_kwargs)
             emb, vis, _idc, _pix, spatial, out_masks = self.model.apply(
                 {'params': self.state.params,
                  'batch_stats': self.state.batch_stats},
@@ -289,9 +293,14 @@ class ImagePartBasedEngine(Engine):
                         if self.config is not None else '.') or '.'
             save_dir = osp.join(base_dir, 'debug_feature_maps')
             display_feature_maps(
-                emb, spatial, out_masks[PARTS],
+                emb, spatial[:max_samples], out_masks[PARTS][:max_samples],
                 batch.get('img_path', [''] * max_samples),
                 batch['pid'][:max_samples], save_dir=save_dir)
+            from bpbreid_tpu.utils.visualization import (
+                display_batch_triplets)
+            display_batch_triplets(
+                batch['image'], emb[PARTS], batch['pid'],
+                osp.join(base_dir, 'debug_triplets'))
         except Exception as e:                        # debug-only path
             print('feature-map debug visualization failed: {}'.format(e))
 

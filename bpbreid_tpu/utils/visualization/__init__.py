@@ -4,3 +4,6 @@ from bpbreid_tpu.utils.visualization.feature_maps import (
     display_feature_maps,
     featuremap_to_heatmap,
 )
+from bpbreid_tpu.utils.visualization.batch_triplets import (
+    display_batch_triplets,
+)
