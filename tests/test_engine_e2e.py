@@ -1,6 +1,8 @@
 """End-to-end smoke: synthetic dataset -> BPBreID (resnet18) -> GiLt+BPA
 training for a few steps (loss decreases) -> part-based evaluation with
 visibility-weighted distance + CMC/mAP + checkpoint save/resume."""
+import os
+
 import numpy as np
 import pytest
 
@@ -108,3 +110,27 @@ def test_run_loop_one_epoch(setup, tmp_path):
         save_dir=str(tmp_path), max_epoch=1, eval_freq=-1, print_freq=5,
         normalize_feature=True, ranks=(1, 5))
     assert 0.0 <= mAP <= 1.0
+
+
+def test_eval_artifacts(setup, tmp_path):
+    """visrank grids, saved features, embedding projection and qg stats
+    are produced by the part-based evaluation."""
+    import os.path as osp
+    cfg, dm, engine = setup
+    cfg.test.vis_embedding_projection = True
+    try:
+        cmc, mAP, ssmd, pxl = engine.test(
+            0, save_dir=str(tmp_path), visrank=True, visrank_count=2,
+            visrank_topk=3, save_features=True, ranks=(1,))
+    finally:
+        cfg.test.vis_embedding_projection = False
+    vis_dir = osp.join(str(tmp_path), 'visrank_synthetic')
+    assert osp.isdir(vis_dir) and len(os.listdir(vis_dir)) == 2
+    feats = np.load(osp.join(str(tmp_path), 'features_synthetic',
+                             'features.npz'))
+    assert feats['qf'].shape[0] == len(feats['q_pids'])
+    assert feats['qf'].shape[1:] == feats['gf'].shape[1:]
+    assert osp.isfile(osp.join(str(tmp_path), 'embeddings_synthetic',
+                               'embeddings_synthetic.png'))
+    assert engine.writer.qg_stats['qg_dist_mean'] > 0
+
