@@ -284,3 +284,26 @@ def test_multires_pooling_train_mode_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-2, rtol=5e-2,
                                    err_msg=jax.tree_util.keystr(pa))
+
+
+def test_multires_gate_with_target_segmentation():
+    """With test_use_target_segmentation the eval path must fall back to
+    the materialized pooling (masks are refined after the softmax), and
+    still match a multires_pooling=False model exactly."""
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    kw = dict(num_classes=5, parts_num=3, backbone='hrnet32',
+              dim_reduce='after_pooling', dim_reduce_output=32,
+              test_use_target_segmentation='soft')
+    base = BPBreID(multires_pooling=False, **kw)
+    fast = BPBreID(multires_pooling=True, **kw)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 64, 32, 3)).astype(np.float32))
+    ext = jax.nn.softmax(jnp.asarray(
+        rng.normal(size=(2, 16, 8, 4)).astype(np.float32)), axis=-1)
+    vb = base.init(jax.random.PRNGKey(0), x, ext)
+    out_a = base.apply(vb, x, ext, train=False)
+    out_b = fast.apply(vb, x, ext, train=False)
+    for key in out_a[0]:
+        np.testing.assert_allclose(np.asarray(out_a[0][key]),
+                                   np.asarray(out_b[0][key]),
+                                   atol=1e-5, err_msg=key)
