@@ -38,16 +38,32 @@ def test_cli_main_smoke(tmp_path):
           'train.max_epoch', '1', 'test.batch_size', '8'])
 
 
-def test_graft_entry_single_chip():
+def test_graft_entry_dryrun_inprocess():
+    """In-process path: conftest already forced an 8-device CPU platform."""
     sys.path.insert(0, '/root/repo')
     import __graft_entry__ as ge
-    import jax
-    # use a small variant for CPU test speed: patch flagship to resnet18
-    fn, example_args = ge.entry.__wrapped__() if hasattr(ge.entry, '__wrapped__') \
-        else (None, None)
-    # entry() builds hrnet32 which is heavy on CPU; just validate the
-    # callable contract with the dryrun instead
     ge.dryrun_multichip(8)
+
+
+def test_graft_entry_dryrun_driver_invocation():
+    """Simulate the DRIVER's raw invocation: clean subprocess with NO
+    conftest env (no JAX_PLATFORMS=cpu, no host-device-count flag), so
+    ``dryrun_multichip`` must self-bootstrap its CPU mesh. This is the
+    exact path that failed in MULTICHIP_r01.json."""
+    import subprocess
+    env = dict(os.environ)
+    env.pop('JAX_PLATFORMS', None)
+    env.pop('_BPBREID_DRYRUN_CHILD', None)
+    flags = [f for f in env.get('XLA_FLAGS', '').split()
+             if not f.startswith('--xla_force_host_platform_device_count')]
+    env['XLA_FLAGS'] = ' '.join(flags)
+    code = ("import sys; sys.path.insert(0, '/root/repo'); "
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)")
+    proc = subprocess.run([sys.executable, '-c', code], env=env,
+                          cwd='/root/repo', capture_output=True, text=True,
+                          timeout=900)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert 'dryrun_multichip OK: 8 devices' in proc.stdout
 
 
 def test_feature_extractor(tmp_path):
