@@ -110,19 +110,77 @@ def test_hpo_grid(tmp_path):
     assert os.path.exists(tmp_path / 'hpo_results.json')
 
 
-def test_rerank_shapes():
+def _rerank_oracle(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6,
+                   lambda_value=0.3):
+    """Literal transcription of the reference k-reciprocal re-ranking
+    (torchreid/utils/rerank.py:31-96), kept ONLY as the test oracle —
+    the reference's own oracle pattern (rank_cylib/test_cython.py)."""
+    original_dist = np.concatenate(
+        [np.concatenate([q_q_dist, q_g_dist], axis=1),
+         np.concatenate([q_g_dist.T, g_g_dist], axis=1)], axis=0)
+    original_dist = np.power(original_dist, 2).astype(np.float32)
+    original_dist = np.transpose(
+        1. * original_dist / np.max(original_dist, axis=0))
+    V = np.zeros_like(original_dist).astype(np.float32)
+    initial_rank = np.argsort(original_dist).astype(np.int32)
+    query_num = q_g_dist.shape[0]
+    all_num = q_g_dist.shape[0] + q_g_dist.shape[1]
+    for i in range(all_num):
+        forward = initial_rank[i, :k1 + 1]
+        backward = initial_rank[forward, :k1 + 1]
+        fi = np.where(backward == i)[0]
+        k_recip = forward[fi]
+        expansion = k_recip
+        for j in range(len(k_recip)):
+            cand = k_recip[j]
+            c_fwd = initial_rank[cand, :int(np.around(k1 / 2.)) + 1]
+            c_bwd = initial_rank[c_fwd, :int(np.around(k1 / 2.)) + 1]
+            fi_c = np.where(c_bwd == cand)[0]
+            c_recip = c_fwd[fi_c]
+            if len(np.intersect1d(c_recip, k_recip)) > 2. / 3 * len(c_recip):
+                expansion = np.append(expansion, c_recip)
+        expansion = np.unique(expansion)
+        weight = np.exp(-original_dist[i, expansion])
+        V[i, expansion] = 1. * weight / np.sum(weight)
+    original_dist = original_dist[:query_num]
+    if k2 != 1:
+        V_qe = np.zeros_like(V, dtype=np.float32)
+        for i in range(all_num):
+            V_qe[i, :] = np.mean(V[initial_rank[i, :k2], :], axis=0)
+        V = V_qe
+    inv_index = [np.where(V[:, i] != 0)[0] for i in range(all_num)]
+    jaccard = np.zeros_like(original_dist, dtype=np.float32)
+    for i in range(query_num):
+        temp_min = np.zeros(shape=[1, all_num], dtype=np.float32)
+        nz = np.where(V[i, :] != 0)[0]
+        images = [inv_index[ind] for ind in nz]
+        for j in range(len(nz)):
+            temp_min[0, images[j]] += np.minimum(V[i, nz[j]],
+                                                 V[images[j], nz[j]])
+        jaccard[i] = 1 - temp_min / (2. - temp_min)
+    final = jaccard * (1 - lambda_value) + original_dist * lambda_value
+    return final[:query_num, query_num:]
+
+
+def _random_rerank_inputs(rng, nq, ng):
+    pts = rng.normal(size=(nq + ng, 8)).astype(np.float32)
+    d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+    return d[:nq, nq:], d[:nq, :nq], d[nq:, nq:]
+
+
+@pytest.mark.parametrize('nq,ng,k1,k2', [
+    (5, 12, 4, 2),
+    (20, 60, 20, 6),
+    (15, 40, 11, 1),   # odd k1 (banker's-rounded half level), k2=1 (no QE)
+])
+def test_rerank_matches_reference_oracle(nq, ng, k1, k2):
     from bpbreid_tpu.utils.rerank import re_ranking
     rng = np.random.default_rng(4)
-    qg = rng.random((5, 12)).astype(np.float32)
-    qq = rng.random((5, 5)).astype(np.float32)
-    gg = rng.random((12, 12)).astype(np.float32)
-    qq = (qq + qq.T) / 2
-    gg = (gg + gg.T) / 2
-    np.fill_diagonal(qq, 0)
-    np.fill_diagonal(gg, 0)
-    out = re_ranking(qg, qq, gg)
-    assert out.shape == (5, 12)
-    assert np.isfinite(out).all()
+    qg, qq, gg = _random_rerank_inputs(rng, nq, ng)
+    out = re_ranking(qg, qq, gg, k1=k1, k2=k2)
+    want = _rerank_oracle(qg, qq, gg, k1=k1, k2=k2)
+    assert out.shape == (nq, ng)
+    np.testing.assert_allclose(out, want, atol=1e-5)
 
 
 def test_batch_triplets_display(tmp_path):
