@@ -7,6 +7,7 @@ import pytest
 
 from bpbreid_tpu.metrics.rank import (
     eval_cuhk03,
+    eval_cuhk03_loop,
     eval_market1501,
     eval_market1501_loop,
     evaluate_rank,
@@ -76,6 +77,44 @@ def test_evaluate_rank_dispatcher():
     assert 0.0 <= out['mAP'] <= 1.0
     out2 = eval_cuhk03(*case, max_rank=10, rng=np.random.default_rng(0))
     assert out2['cmc'].shape == (10,)
+
+
+@pytest.mark.parametrize('seed', [0, 5])
+def test_cuhk03_matches_loop_oracle(seed):
+    """AP ignores the resampling → must match the oracle exactly; the
+    single-gallery-shot CMC is stochastic → compare expectations with
+    many repeats (different-but-equivalent sampling schemes)."""
+    rng = np.random.default_rng(seed)
+    case = _random_case(rng, num_q=20, num_g=120, num_pid=12)
+    fast = eval_cuhk03(*case, max_rank=10, num_repeats=600,
+                       rng=np.random.default_rng(1))
+    slow = eval_cuhk03_loop(*case, max_rank=10, num_repeats=600,
+                            rng=np.random.default_rng(2))
+    assert fast['mAP'] == pytest.approx(slow['mAP'], abs=1e-9)
+    np.testing.assert_allclose(fast['cmc'], slow['cmc'], atol=0.02)
+
+
+def test_cuhk03_deterministic_by_default():
+    rng = np.random.default_rng(9)
+    case = _random_case(rng)
+    a = eval_cuhk03(*case, max_rank=10)
+    b = eval_cuhk03(*case, max_rank=10)
+    np.testing.assert_array_equal(a['cmc'], b['cmc'])
+    assert a['mAP'] == b['mAP']
+    c = evaluate_rank(*case, max_rank=10, eval_metric='cuhk03')
+    np.testing.assert_array_equal(a['cmc'], c['cmc'])
+
+
+def test_cuhk03_short_group_tail():
+    """Queries whose kept gallery has fewer pid groups than max_rank:
+    the oracle leaves CMC ranks past the group count at 0."""
+    rng = np.random.default_rng(3)
+    case = _random_case(rng, num_q=8, num_g=20, num_pid=4)
+    fast = eval_cuhk03(*case, max_rank=15, num_repeats=400,
+                       rng=np.random.default_rng(1))
+    slow = eval_cuhk03_loop(*case, max_rank=15, num_repeats=400,
+                            rng=np.random.default_rng(2))
+    np.testing.assert_allclose(fast['cmc'], slow['cmc'], atol=0.03)
 
 
 def test_cmc_monotonic():
