@@ -55,20 +55,87 @@ def _pad_crop(imgs, masks, rng, pad=10):
     return imgs, masks
 
 
-def _color_jitter(imgs, rng, brightness=0.2, contrast=0.15, p=0.5):
-    """Brightness/contrast jitter on [0,1] images (saturation/hue are 0 in
-    the shipped configs)."""
+def _rgb_to_gray(imgs):
+    """ITU-R 601-2 luma, the grayscale torchvision/albumentations use."""
+    return (imgs[..., 0] * 0.299 + imgs[..., 1] * 0.587
+            + imgs[..., 2] * 0.114)
+
+
+def adjust_saturation(imgs, factor):
+    """Blend towards the grayscale image (torchvision adjust_saturation
+    semantics: factor 0 = grayscale, 1 = identity, >1 oversaturated)."""
+    gray = _rgb_to_gray(imgs)[..., None]
+    return jnp.clip(factor * imgs + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def adjust_hue(imgs, shift):
+    """Shift hue by ``shift`` ∈ [-0.5, 0.5] turns (torchvision
+    adjust_hue semantics: RGB→HSV, H = (H + shift) mod 1, →RGB)."""
+    r, g, b = imgs[..., 0], imgs[..., 1], imgs[..., 2]
+    maxc = jnp.max(imgs, axis=-1)
+    minc = jnp.min(imgs, axis=-1)
+    chroma = maxc - minc
+    safe = jnp.where(chroma == 0, 1.0, chroma)
+    # hue in turns, by dominant channel
+    hr = ((g - b) / safe) % 6.0
+    hg = (b - r) / safe + 2.0
+    hb = (r - g) / safe + 4.0
+    h = jnp.where(maxc == r, hr, jnp.where(maxc == g, hg, hb)) / 6.0
+    h = jnp.where(chroma == 0, 0.0, h)
+
+    h = (h + shift) % 1.0
+
+    # HSV → RGB with v = maxc, s·v = chroma
+    k = h[..., None] * 6.0
+    i = jnp.floor(k)
+    f = k - i
+    p = minc[..., None]
+    v = maxc[..., None]
+    q = v - chroma[..., None] * f
+    t = p + chroma[..., None] * f
+    i = i.astype(jnp.int32) % 6
+    r_out = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [v, q, p, p, t], v)
+    g_out = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [t, v, v, q, p], p)
+    b_out = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4], [p, p, t, v, v], q)
+    return jnp.concatenate([r_out, g_out, b_out], axis=-1)
+
+
+def _color_jitter(imgs, rng, brightness=0.2, contrast=0.15, saturation=0.0,
+                  hue=0.0, p=0.5):
+    """Brightness/contrast/saturation/hue jitter on [0,1] images.
+
+    Factor ranges follow torchvision ColorJitter (the backend of the
+    reference's albumentations transform, transforms.py:100-106):
+    brightness/contrast/saturation ~ U[1-x, 1+x], hue ~ U[-hue, hue].
+    Applied in fixed b→c→s→h order (torchvision randomizes the order;
+    for an augmentation the ordering only perturbs the noise
+    distribution, and a fixed order keeps the step jit-static).
+    """
     n = imgs.shape[0]
-    r_apply, r_b, r_c = jax.random.split(rng, 3)
+    r_apply, r_b, r_c, r_s, r_h = jax.random.split(rng, 5)
     apply = jax.random.bernoulli(r_apply, p, (n, 1, 1, 1))
-    b = jax.random.uniform(r_b, (n, 1, 1, 1), minval=1 - brightness,
-                           maxval=1 + brightness)
-    c = jax.random.uniform(r_c, (n, 1, 1, 1), minval=1 - contrast,
-                           maxval=1 + contrast)
-    out = jnp.clip(imgs * b, 0.0, 1.0)
-    gray = (out[..., 0] * 0.299 + out[..., 1] * 0.587 + out[..., 2] * 0.114)
-    mean = gray.mean(axis=(1, 2))[:, None, None, None]
-    out = jnp.clip(out * c + (1 - c) * mean, 0.0, 1.0)
+    out = imgs
+    if brightness:
+        b = jax.random.uniform(r_b, (n, 1, 1, 1),
+                               minval=max(0.0, 1 - brightness),
+                               maxval=1 + brightness)
+        out = jnp.clip(out * b, 0.0, 1.0)
+    if contrast:
+        c = jax.random.uniform(r_c, (n, 1, 1, 1),
+                               minval=max(0.0, 1 - contrast),
+                               maxval=1 + contrast)
+        mean = _rgb_to_gray(out).mean(axis=(1, 2))[:, None, None, None]
+        out = jnp.clip(out * c + (1 - c) * mean, 0.0, 1.0)
+    if saturation:
+        s = jax.random.uniform(r_s, (n, 1, 1, 1),
+                               minval=max(0.0, 1 - saturation),
+                               maxval=1 + saturation)
+        out = adjust_saturation(out, s)
+    if hue:
+        if not 0.0 <= hue <= 0.5:
+            raise ValueError('hue must be in [0, 0.5], got %r' % (hue,))
+        hshift = jax.random.uniform(r_h, (n, 1, 1), minval=-hue, maxval=hue)
+        out = adjust_hue(out, hshift)
     return jnp.where(apply, out, imgs)
 
 
@@ -120,8 +187,8 @@ def mask_chain(masks, grouping_matrix=None, combine='max', special=None,
 
 def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
                   norm_mean=IMAGENET_MEAN, norm_std=IMAGENET_STD,
-                  cj_brightness=0.2, cj_contrast=0.15, cj_p=0.5,
-                  mask_kwargs=None):
+                  cj_brightness=0.2, cj_contrast=0.15, cj_saturation=0.0,
+                  cj_hue=0.0, cj_p=0.5, mask_kwargs=None):
     """Full batched train-time pipeline.
 
     Args:
@@ -141,7 +208,8 @@ def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
     if 'random_crop' in transforms or 'rc' in transforms:
         imgs, masks = _pad_crop(imgs, masks, r[1])
     if 'color_jitter' in transforms or 'cj' in transforms:
-        imgs = _color_jitter(imgs, r[2], cj_brightness, cj_contrast, cj_p)
+        imgs = _color_jitter(imgs, r[2], cj_brightness, cj_contrast,
+                             cj_saturation, cj_hue, cj_p)
     imgs = _normalize(imgs, norm_mean, norm_std)
     if 'random_erase' in transforms or 're' in transforms:
         imgs, masks = _coarse_dropout(imgs, masks, r[3], mean=norm_mean)

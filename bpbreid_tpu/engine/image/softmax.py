@@ -100,10 +100,14 @@ class ImageSoftmaxEngine(Engine):
 
     def _train_step_impl(self, state, imgs_u8, pids, rng, freeze_base=False):
         aug_rng, model_rng = jax.random.split(rng)
+        cj = self.config.data.cj if self.config else None
+        cj_kwargs = dict(cj_brightness=cj.brightness, cj_contrast=cj.contrast,
+                         cj_saturation=cj.saturation, cj_hue=cj.hue,
+                         cj_p=cj.p) if cj else {}
         imgs, _ = train_augment(imgs_u8, None, aug_rng,
                                 transforms=tuple(self.transforms),
                                 norm_mean=self.norm_mean,
-                                norm_std=self.norm_std)
+                                norm_std=self.norm_std, **cj_kwargs)
 
         def loss_fn(params):
             outputs, new_state = self.model.apply(

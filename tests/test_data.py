@@ -100,6 +100,68 @@ def test_augment_deterministic_under_same_key(synth):
     np.testing.assert_allclose(np.asarray(imgs1), np.asarray(imgs2))
 
 
+def test_adjust_hue_saturation_vs_colorsys():
+    """Per-pixel oracle: stdlib colorsys implements the same HSV model
+    torchvision's adjust_hue uses (reference cj backend:
+    torchreid/data/transforms.py:100-106)."""
+    import colorsys
+    from bpbreid_tpu.data.augment import adjust_hue, adjust_saturation
+    rng = np.random.default_rng(0)
+    pix = rng.random((1, 4, 5, 3)).astype(np.float32)
+    for shift in (0.1, -0.25, 0.5):
+        got = np.asarray(adjust_hue(jnp.asarray(pix), shift))
+        want = np.empty_like(pix)
+        for i in range(4):
+            for j in range(5):
+                h, s, v = colorsys.rgb_to_hsv(*pix[0, i, j])
+                want[0, i, j] = colorsys.hsv_to_rgb((h + shift) % 1.0, s, v)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # saturation: factor 0 == grayscale (601-2 luma), 1 == identity
+    gray = np.asarray(adjust_saturation(jnp.asarray(pix), 0.0))
+    luma = pix[..., 0] * 0.299 + pix[..., 1] * 0.587 + pix[..., 2] * 0.114
+    np.testing.assert_allclose(gray, np.repeat(luma[..., None], 3, -1),
+                               atol=1e-6)
+    same = np.asarray(adjust_saturation(jnp.asarray(pix), 1.0))
+    np.testing.assert_allclose(same, pix, atol=1e-6)
+
+
+def test_adjust_hue_primaries_and_roundtrip():
+    from bpbreid_tpu.data.augment import adjust_hue
+    red = jnp.zeros((1, 1, 1, 3)).at[..., 0].set(1.0)
+    green = np.asarray(adjust_hue(red, 1.0 / 3.0))
+    np.testing.assert_allclose(green, [[[[0.0, 1.0, 0.0]]]], atol=1e-5)
+    blue = np.asarray(adjust_hue(red, -1.0 / 3.0))
+    np.testing.assert_allclose(blue, [[[[0.0, 0.0, 1.0]]]], atol=1e-5)
+    rng = np.random.default_rng(1)
+    pix = jnp.asarray(rng.random((2, 3, 3, 3)).astype(np.float32))
+    back = np.asarray(adjust_hue(adjust_hue(pix, 0.2), -0.2))
+    np.testing.assert_allclose(back, np.asarray(pix), atol=1e-5)
+
+
+def test_color_jitter_saturation_hue_config_honored():
+    """A saturation/hue-only jitter (p=1) must actually change colors
+    (round-1 gap: data.cj.saturation/hue were silently ignored) while
+    leaving the luma structure roughly intact for pure saturation."""
+    from bpbreid_tpu.data.augment import train_augment
+    rng = np.random.default_rng(2)
+    imgs = jnp.asarray(rng.integers(0, 255, (4, 16, 8, 3), np.uint8))
+    base, _ = train_augment(imgs, None, jax.random.PRNGKey(0),
+                            transforms=('cj',), cj_brightness=0.0,
+                            cj_contrast=0.0, cj_saturation=0.0, cj_hue=0.0,
+                            cj_p=1.0)
+    jit_sat, _ = train_augment(imgs, None, jax.random.PRNGKey(0),
+                               transforms=('cj',), cj_brightness=0.0,
+                               cj_contrast=0.0, cj_saturation=0.9,
+                               cj_hue=0.0, cj_p=1.0)
+    jit_hue, _ = train_augment(imgs, None, jax.random.PRNGKey(0),
+                               transforms=('cj',), cj_brightness=0.0,
+                               cj_contrast=0.0, cj_saturation=0.0,
+                               cj_hue=0.4, cj_p=1.0)
+    assert np.abs(np.asarray(jit_sat) - np.asarray(base)).max() > 1e-3
+    assert np.abs(np.asarray(jit_hue) - np.asarray(base)).max() > 1e-3
+
+
 def test_datamanager_end_to_end():
     from bpbreid_tpu.config import get_default_config
     from bpbreid_tpu.data import ImageDataManager
