@@ -178,6 +178,8 @@ class ImagePartBasedEngine(Engine):
             norm_mean=self.norm_mean, norm_std=self.norm_std,
             cj_brightness=self.config.data.cj.brightness,
             cj_contrast=self.config.data.cj.contrast,
+            cj_saturation=self.config.data.cj.saturation,
+            cj_hue=self.config.data.cj.hue,
             cj_p=self.config.data.cj.p,
             mask_kwargs=self.mask_kwargs)
         (loss, (new_batch_stats, loss_summary)), grads = jax.value_and_grad(
@@ -307,11 +309,17 @@ class ImagePartBasedEngine(Engine):
     def _feature_extraction(self, loader):
         f_, vis_, pids_, camids_ = [], [], [], []
         pxl_correct = pxl_total = 0.0
+        sharding = getattr(self, 'batch_sharding', None)
+        n_dev = self.mesh.devices.size if getattr(self, 'mesh', None) else 1
         for batch in loader:
+            imgs = jnp.asarray(batch['image'])
             masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
+            if sharding is not None and imgs.shape[0] % n_dev == 0:
+                imgs = jax.device_put(imgs, sharding)
+                if masks is not None:
+                    masks = jax.device_put(masks, sharding)
             (feats, vis, _masks, _pxl, _m, corr, tot) = self._eval_step(
-                self.state.params, self.state.batch_stats,
-                jnp.asarray(batch['image']), masks)
+                self.state.params, self.state.batch_stats, imgs, masks)
             valid = batch['valid']
             f_.append(np.asarray(feats)[valid])
             vis_.append(np.asarray(vis)[valid])
@@ -356,11 +364,23 @@ class ImagePartBasedEngine(Engine):
                 and self.config.model.bpbreid.testing_binary_visibility_score:
             q_vis_arr = q_vis_arr.astype(bool)
             g_vis_arr = g_vis_arr.astype(bool)
-        distmat, body_parts_distmat = compute_distance_matrix_using_bp_features(
-            qf, gf, q_vis_arr, g_vis_arr, self.dist_combine_strat,
-            self.batch_size_pairwise_dist_matrix, metric=dist_metric)
-        distmat = np.asarray(distmat)
-        body_parts_distmat = np.asarray(body_parts_distmat)
+        mesh = getattr(self, 'mesh', None)
+        if mesh is not None and mesh.devices.size > 1:
+            # gallery axis sharded over the mesh (parallel/retrieval.py) —
+            # the framework's long-axis parallelism (SURVEY §5)
+            from bpbreid_tpu.parallel.retrieval import sharded_bp_distance
+            distmat, body_parts_distmat, n_gal = sharded_bp_distance(
+                mesh, qf, gf, q_vis_arr, g_vis_arr,
+                self.dist_combine_strat, metric=dist_metric)
+            distmat = np.asarray(distmat)[:, :n_gal]
+            body_parts_distmat = np.asarray(body_parts_distmat)[..., :n_gal]
+        else:
+            distmat, body_parts_distmat = \
+                compute_distance_matrix_using_bp_features(
+                    qf, gf, q_vis_arr, g_vis_arr, self.dist_combine_strat,
+                    self.batch_size_pairwise_dist_matrix, metric=dist_metric)
+            distmat = np.asarray(distmat)
+            body_parts_distmat = np.asarray(body_parts_distmat)
         if self.writer is not None:
             self.writer.qg_pairwise_dist_statistics(
                 distmat, body_parts_distmat, q_vis, g_vis)
