@@ -91,6 +91,41 @@ def test_diff_display():
     assert 'lr' in cfg.project.diff_config
 
 
+def test_all_shipped_yaml_configs_parse():
+    """Every shipped config (12 mirrors of /root/reference/configs/bpbreid
+    + the synthetic smoke) must merge cleanly and resolve the mask
+    grouping to the right parts count / engine inputs."""
+    import glob
+    import os
+
+    from bpbreid_tpu.ops.masks import compute_parts_num_and_names
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'configs', 'bpbreid')
+    paths = sorted(glob.glob(os.path.join(root, '*.yaml')))
+    assert len(paths) == 13, paths
+    expected_parts = {'five_v': 5, 'eight': 8}
+    for p in paths:
+        cfg = get_default_config()
+        cfg.merge_from_file(p)
+        compute_parts_num_and_names(cfg)
+        name = os.path.basename(p)
+        assert cfg.model.name == 'bpbreid', name
+        assert cfg.loss.name == 'part_based', name
+        if cfg.model.bpbreid.masks.type == 'disk':
+            want = expected_parts[cfg.model.bpbreid.masks.preprocess]
+            assert cfg.model.bpbreid.masks.parts_num == want, name
+        else:  # the two PCB stripes configs
+            assert cfg.model.bpbreid.masks.type == 'stripes', name
+            assert cfg.model.bpbreid.masks.parts_num == 6, name
+            assert cfg.model.bpbreid.test_embeddings == ['conct'], name
+        if name.endswith('_test.yaml'):
+            assert cfg.test.evaluate is True, name
+            assert cfg.model.load_config is True, name
+        elif name != 'bpbreid_synthetic_smoke.yaml':
+            assert cfg.test.evaluate is False, name
+
+
 def test_roundtrip_dict():
     cfg = get_default_config()
     cfg.model.bpbreid.masks.parts_num = 5
