@@ -186,6 +186,10 @@ class TrainCfg:
     eval_freq: int = -1
     batch_debug_freq: int = 0
     batch_log_freq: int = 0
+    # device-mesh data parallelism (TPU replacement for the reference's
+    # nn.DataParallel, main.py:257): 0 = auto (all visible devices when
+    # more than one), 1 = force single-device, N>1 = mesh over N devices
+    n_devices: int = 0
 
 
 @dataclass
@@ -418,7 +422,12 @@ def imagedata_kwargs(cfg):
         'cuhk03_labeled': cfg.cuhk03.labeled_images,
         'cuhk03_classic_split': cfg.cuhk03.classic_split,
         'market1501_500k': cfg.market1501.use_500k_distractors,
-        'use_masks': cfg.loss.name == 'part_based',
+        # stripes mode (PCB emulation) synthesizes its attention masks
+        # in-model — don't require disk masks for it (the reference
+        # keys only on the loss, default_config.py:279, which makes its
+        # own pcb configs demand pifpaf masks they never use)
+        'use_masks': (cfg.loss.name == 'part_based'
+                      and cfg.model.bpbreid.masks.type == 'disk'),
         'masks_dir': cfg.model.bpbreid.masks.dir,
     }
 

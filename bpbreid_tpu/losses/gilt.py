@@ -49,7 +49,6 @@ class GiLtLoss:
                  id_cls_scores_dict, pids, rng=None):
         loss_summary = {}
         total = jnp.asarray(0.0, jnp.float32)
-        n_terms = 0
         for key in (GLOBAL, FOREGROUND, CONCAT_PARTS, PARTS):
             info = loss_summary.setdefault(key, {})
             ce_w = float(self.losses_weights[key]['id'])
@@ -57,7 +56,6 @@ class GiLtLoss:
                 ce, acc = self._id_cls_loss(
                     id_cls_scores_dict[key], visibility_scores_dict[key], pids)
                 total = total + ce_w * ce
-                n_terms += 1
                 info['c'] = ce
                 info['a'] = acc
         for key in (GLOBAL, FOREGROUND, CONCAT_PARTS, PARTS):
@@ -68,7 +66,6 @@ class GiLtLoss:
                     embeddings_dict[key], visibility_scores_dict[key], pids,
                     rng)
                 total = total + tr_w * tr
-                n_terms += 1
                 info['t'] = tr
                 info['tt'] = trivial
                 info['vt'] = valid

@@ -563,6 +563,10 @@ def bpbreid(num_classes, loss='part_based', pretrained=True, config=None,
     """Factory mirroring the reference ctor (bpbreid.py:510-518)."""
     del loss, pretrained
     mc = config.model.bpbreid
+    # honor the PCB stripes mode of the shipped pcb_*.yaml configs (the
+    # reference never routes masks.type='stripes' into the model when
+    # built under name 'bpbreid' — see compute_parts_num_and_names note)
+    kwargs.setdefault('horizontal_stripes', mc.masks.type == 'stripes')
     dtype = jnp.bfloat16 if getattr(config.model, 'compute_dtype', 'float32') \
         == 'bfloat16' else jnp.float32
     return BPBreID(

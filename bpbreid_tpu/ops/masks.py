@@ -479,10 +479,21 @@ masks_preprocess_all = {**masks_preprocess_pifpaf, **masks_preprocess_fixed,
 def compute_parts_num_and_names(cfg, dataset_masks_config=None):
     """Resolve cfg.model.bpbreid.masks.parts_num/parts_names from the chosen
     grouping strategy or the dataset's own mask metadata (ISP-style)
-    (reference: masks_transforms/__init__.py:55-65)."""
+    (reference: masks_transforms/__init__.py:55-65).
+
+    Deliberate divergence: when ``masks.type == 'stripes'`` (the PCB
+    emulation mode of configs/bpbreid/pcb_*.yaml) the YAML's
+    ``parts_num`` is kept. The reference clobbers it with the pifpaf
+    ``preprocess`` strategy's count (its compute_parts_num_and_names
+    never consults masks.type), which contradicts its own shipped PCB
+    configs ('6 horizontal stripes' overwritten to 8 parts).
+    """
     masks_cfg = cfg.model.bpbreid.masks
     if cfg.loss.name == 'part_based':
-        if ((dataset_masks_config is not None and dataset_masks_config[1])
+        if masks_cfg.type == 'stripes':
+            masks_cfg.parts_names = [
+                'p{}'.format(p) for p in range(1, masks_cfg.parts_num + 1)]
+        elif ((dataset_masks_config is not None and dataset_masks_config[1])
                 or masks_cfg.preprocess == 'none'):
             masks_cfg.parts_num = dataset_masks_config[0]
             masks_cfg.parts_names = [

@@ -32,7 +32,7 @@ def replicate(mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_batch_spec(mesh, ndim=None):
+def shard_batch_spec(mesh):
     """Sharding for an array whose leading axis is the batch."""
     return NamedSharding(mesh, P(DATA_AXIS))
 

@@ -185,7 +185,37 @@ def build_model_engine(cfg):
         cfg.train.start_epoch = start_epoch
         engine.start_epoch = start_epoch
         engine.epoch = start_epoch
+    maybe_distribute_engine(engine, cfg)
     return engine, model
+
+
+def maybe_distribute_engine(engine, cfg):
+    """Mesh data parallelism for the CLI path: shard the train step (and
+    let eval use gallery-sharded retrieval) over the device mesh when
+    more than one device is available or ``train.n_devices`` asks for it.
+    TPU-native replacement for the reference's ``nn.DataParallel``
+    wiring (reference: torchreid/scripts/main.py:256-257)."""
+    import jax
+    n = getattr(cfg.train, 'n_devices', 0)
+    if n == 0:
+        n = jax.device_count()
+    if n <= 1 or not hasattr(engine, '_train_step_impl'):
+        return None
+    avail = jax.device_count()
+    if n > avail:
+        print('train.n_devices={} but only {} devices visible; using {}'
+              .format(cfg.train.n_devices, avail, avail))
+        n = avail
+    if cfg.train.batch_size % n:
+        print('batch_size {} not divisible by {} devices; staying '
+              'single-device'.format(cfg.train.batch_size, n))
+        return None
+    from bpbreid_tpu.parallel import distribute_engine
+    mesh = distribute_engine(engine, n_devices=n)
+    print('Distributed training over a {}-device "{}" mesh '
+          '(batch sharded, params replicated, gradient psum over ICI)'
+          .format(mesh.devices.size, ','.join(mesh.axis_names)))
+    return mesh
 
 
 def load_pretrained_weights(engine, path):
