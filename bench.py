@@ -21,6 +21,8 @@ def main():
     parser.add_argument('--height', type=int, default=384)
     parser.add_argument('--width', type=int, default=128)
     parser.add_argument('--pallas-pooling', action='store_true')
+    parser.add_argument('--no-int8', action='store_true',
+                        help='disable the int8 backbone-conv path')
     args = parser.parse_args()
 
     import jax
@@ -50,7 +52,19 @@ def main():
     def sync(o):
         np.asarray(o[0])
 
-    out = forward(variables, images)
+    # int8 MXU convs in the backbone (ops/quant.py): calibrate static
+    # activation scales on one batch, then trace the int8 graph (the
+    # flags are read at trace time — the first call compiles the mode)
+    if not args.no_int8:
+        from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
+        with int8_calibration():
+            _, qvars = model.apply(variables, images, train=False,
+                                   mutable=['quant'])
+        variables = {**variables, **qvars}
+        with int8_inference():
+            out = forward(variables, images)
+    else:
+        out = forward(variables, images)
     sync(out)
     for _ in range(args.warmup):
         out = forward(variables, images)
@@ -65,8 +79,9 @@ def main():
     imgs_per_sec = args.batch_size * args.iters / elapsed
     n_chips = max(1, len(jax.devices()))
     per_chip = imgs_per_sec / n_chips
+    precision = 'bf16' if args.no_int8 else 'int8'
     print(json.dumps({
-        'metric': 'hrnet32_bpbreid_inference_384x128_bf16',
+        'metric': 'hrnet32_bpbreid_inference_384x128_' + precision,
         'value': round(per_chip, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(per_chip / 5000.0, 4),

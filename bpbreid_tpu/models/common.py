@@ -12,20 +12,71 @@ statistics stay float32.
 """
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from bpbreid_tpu.ops.quant import quant_conv, quant_mode
+
 BN_MOMENTUM = 0.9   # == torch momentum 0.1 (flax momentum keeps the old value)
 BN_EPS = 1e-5
+
+
+class PConv(nn.Module):
+    """nn.Conv drop-in (same 'kernel'/'bias' params, init, and float
+    semantics) with a calibrated int8 inference mode (see ops/quant.py):
+    traced inside ``int8_calibration()`` it records |x|max into the
+    'quant' collection; inside ``int8_inference()`` it quantizes with
+    that static scale and runs the conv on the MXU in int8."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    use_bias: bool = True
+    feature_group_count: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (*self.kernel_size,
+                  x.shape[-1] // self.feature_group_count, self.features)
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            kshape, jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        mode = quant_mode()
+        if mode == 'calibrate':
+            amax = self.variable('quant', 'act_amax',
+                                 lambda: jnp.zeros((), jnp.float32))
+            amax.value = jnp.maximum(
+                amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        if mode == 'int8':
+            if self.has_variable('quant', 'act_amax'):
+                scale = self.get_variable('quant', 'act_amax') / 127.0
+            else:     # uncalibrated: dynamic per-tensor fallback
+                scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+            y = quant_conv(x, kernel, tuple(self.strides), self.padding,
+                           scale, groups=self.feature_group_count,
+                           out_dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                tuple(self.strides), self.padding,
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                feature_group_count=self.feature_group_count)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 def conv(x, features, kernel, stride=1, name='conv', dtype=jnp.float32,
          groups=1, use_bias=False, padding=None):
     """torch-parity conv: symmetric padding of kernel//2 unless given."""
     pad = kernel // 2 if padding is None else padding
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=((pad, pad), (pad, pad)), use_bias=use_bias,
-                   feature_group_count=groups, dtype=dtype, name=name)(x)
+    return PConv(features, (kernel, kernel), strides=(stride, stride),
+                 padding=((pad, pad), (pad, pad)), use_bias=use_bias,
+                 feature_group_count=groups, dtype=dtype, name=name)(x)
 
 
 def bn(x, train, name='bn', dtype=jnp.float32):

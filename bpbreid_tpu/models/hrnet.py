@@ -19,7 +19,8 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bpbreid_tpu.models.common import BN_EPS, BN_MOMENTUM, BasicBlock, Bottleneck, ResLayer
+from bpbreid_tpu.models.common import (BN_EPS, BN_MOMENTUM, BasicBlock,
+                                        Bottleneck, PConv, ResLayer)
 from bpbreid_tpu.ops.resize import resize_bilinear_align_corners
 
 # (num_modules, num_branches, num_blocks, channels) per stage
@@ -42,10 +43,10 @@ class _ConvBNRelu(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         pad = self.kernel // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=((pad, pad), (pad, pad)), use_bias=self.use_bias,
-                    dtype=self.dtype, name='0')(x)
+        x = PConv(self.features, (self.kernel, self.kernel),
+                  strides=(self.stride, self.stride),
+                  padding=((pad, pad), (pad, pad)), use_bias=self.use_bias,
+                  dtype=self.dtype, name='0')(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=BN_EPS, dtype=self.dtype, name='1')(x)
         if self.relu:
@@ -80,9 +81,9 @@ class HighResolutionModule(nn.Module):
                     t = xs[j]
                 elif j > i:
                     # 1x1 conv + BN then nearest-upsample by 2^(j-i)
-                    t = nn.Conv(self.num_channels[i], (1, 1), use_bias=False,
-                                dtype=self.dtype,
-                                name='fuse_layers.{}.{}.0'.format(i, j))(xs[j])
+                    t = PConv(self.num_channels[i], (1, 1), use_bias=False,
+                              dtype=self.dtype,
+                              name='fuse_layers.{}.{}.0'.format(i, j))(xs[j])
                     t = nn.BatchNorm(use_running_average=not train,
                                      momentum=BN_MOMENTUM, epsilon=BN_EPS,
                                      dtype=self.dtype,
@@ -126,8 +127,8 @@ class HighResolutionNet(nn.Module):
     def __call__(self, x, train: bool = False):
         # stem: two stride-2 3x3 convs -> 1/4 scale
         for name_c, name_b in (('conv1', 'bn1'), ('conv2', 'bn2')):
-            x = nn.Conv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                        use_bias=False, dtype=self.dtype, name=name_c)(x)
+            x = PConv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                      use_bias=False, dtype=self.dtype, name=name_c)(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype, name=name_b)(x)
@@ -183,8 +184,8 @@ class HighResolutionNet(nn.Module):
         x = jnp.concatenate(ups, axis=-1)            # [N, H/4, W/4, 1920]
 
         if self.enable_dim_reduction:
-            x = nn.Conv(self.dim_reduction_channels, (1, 1), use_bias=True,
-                        dtype=self.dtype, name='cls_head.0')(x)
+            x = PConv(self.dim_reduction_channels, (1, 1), use_bias=True,
+                      dtype=self.dtype, name='cls_head.0')(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
                              dtype=self.dtype, name='cls_head.1')(x)

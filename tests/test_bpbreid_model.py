@@ -206,6 +206,7 @@ def test_full_bpbreid_parity_with_reference():
             err_msg='cls[{}]'.format(key))
 
 
+@pytest.mark.slow
 def test_multires_pooling_matches_materialized():
     """The HRNet inference fast path (pool each branch at native
     resolution with transpose-resized masks, skip the 1920-ch concat)
@@ -241,6 +242,7 @@ def test_multires_pooling_matches_materialized():
     assert out_t[0][0]['parts'].shape == (2, 5, 64)
 
 
+@pytest.mark.slow
 def test_multires_pooling_train_mode_matches():
     """Training through the multi-resolution path must match the
     materialized path: outputs, the pixel classifier's VIRTUAL BN batch

@@ -57,6 +57,7 @@ def _build_cli_engine(tmp_path, job_id, n_devices):
     return cfg, engine
 
 
+@pytest.mark.slow
 def test_cli_mesh_data_parallel(tmp_path, capsys):
     """VERDICT round-1 item 4: mesh parallelism reachable from the CLI.
     The CLI builder must wire ``distribute_engine`` from train.n_devices
@@ -90,6 +91,7 @@ def test_cli_mesh_data_parallel(tmp_path, capsys):
     assert 'mAP' in out
 
 
+@pytest.mark.slow
 def test_cli_pcb_stripes_smoke(tmp_path):
     """PCB stripes emulation end-to-end: the shipped pcb_*.yaml semantics
     (masks.type='stripes', parts_num=6, no disk masks) on the synthetic
@@ -161,6 +163,7 @@ def test_feature_extractor(tmp_path):
     assert vis[PARTS].shape == (3, 5)
 
 
+@pytest.mark.slow
 def test_extract_reid_features(tmp_path):
     import cv2
     from bpbreid_tpu.config import get_default_config

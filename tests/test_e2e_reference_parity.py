@@ -40,14 +40,16 @@ def _load_module(alias, path):
 def _install_eval_stubs():
     """Minimal torchreid surface so the reference metrics/distance.py and
     models/bpbreid.py import standalone (same technique as
-    tests/test_bpbreid_model.py)."""
-    if 'torchreid' in sys.modules:
-        return
+    tests/test_bpbreid_model.py). Additive: when another test file
+    already installed a torchreid stub, the extra submodules
+    (utils.writer, utils.tensortools) and the direct-construction
+    build_model are grafted onto it instead of early-returning."""
     ref_resnet = _load_module('ref_resnet_for_parity',
                               '/root/reference/torchreid/models/resnet.py')
 
-    torchreid = types.ModuleType('torchreid')
-    models_mod = types.ModuleType('torchreid.models')
+    torchreid = sys.modules.get('torchreid') or types.ModuleType('torchreid')
+    models_mod = sys.modules.get('torchreid.models') \
+        or types.ModuleType('torchreid.models')
 
     _ARCH = {'resnet18': (ref_resnet.BasicBlock, [2, 2, 2, 2], 512),
              'resnet34': (ref_resnet.BasicBlock, [3, 4, 6, 3], 512),
@@ -70,7 +72,8 @@ def _install_eval_stubs():
 
     models_mod.build_model = build_model
 
-    constants = types.ModuleType('torchreid.utils.constants')
+    constants = sys.modules.get('torchreid.utils.constants') \
+        or types.ModuleType('torchreid.utils.constants')
     import bpbreid_tpu.constants as my_constants
     for k in dir(my_constants):
         if not k.startswith('_'):
@@ -89,7 +92,8 @@ def _install_eval_stubs():
         'torchreid.utils.tensortools',
         '/root/reference/torchreid/utils/tensortools.py')
 
-    utils_mod = types.ModuleType('torchreid.utils')
+    utils_mod = sys.modules.get('torchreid.utils') \
+        or types.ModuleType('torchreid.utils')
     utils_mod.constants = constants
     utils_mod.writer = writer_mod
     utils_mod.tensortools = tensortools
@@ -250,6 +254,7 @@ def _reference_feature_extraction(engine, ref_model, loader):
             np.concatenate(pids_), np.concatenate(camids_))
 
 
+@pytest.mark.slow
 def test_e2e_metric_parity(rig, capsys):
     cfg, dm, engine, ref_model, ref_distance, ref_rank = rig
     tl = dm.test_loader['synthetic']

@@ -104,6 +104,7 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert meta['config']['model']['bpbreid']['masks']['parts_num'] == 5
 
 
+@pytest.mark.slow
 def test_run_loop_one_epoch(setup, tmp_path):
     cfg, dm, engine = setup
     cmc, mAP, ssmd, pxl = engine.run(
@@ -112,6 +113,7 @@ def test_run_loop_one_epoch(setup, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
+@pytest.mark.slow
 def test_eval_artifacts(setup, tmp_path):
     """visrank grids, saved features, embedding projection and qg stats
     are produced by the part-based evaluation."""

@@ -45,6 +45,7 @@ def _randomize_bn(model, seed=0):
      '/root/reference/torchreid/models/inceptionresnetv2.py'),
     ('nasnetamobile', '/root/reference/torchreid/models/nasnet.py'),
 ])
+@pytest.mark.slow
 def test_zoo_parity(arch, ref_file):
     import torch
     import jax
@@ -112,6 +113,7 @@ def test_grid_sample_matches_torch():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_hacnn_parity():
     import torch
     import jax
@@ -152,6 +154,7 @@ def test_hacnn_parity():
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_hacnn_local_branch_runs():
     import jax
     import jax.numpy as jnp
@@ -164,6 +167,7 @@ def test_hacnn_local_branch_runs():
     assert out.shape == (2, 1024)     # global 512 + local 512
 
 
+@pytest.mark.slow
 def test_pvpm_shapes():
     import jax
     import jax.numpy as jnp

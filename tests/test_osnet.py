@@ -30,6 +30,7 @@ def _randomize_bn(model, seed=0):
     ('osnet_ibn_x1_0', '/root/reference/torchreid/models/osnet.py'),
     ('osnet_ain_x1_0', '/root/reference/torchreid/models/osnet_ain.py'),
 ])
+@pytest.mark.slow
 def test_osnet_parity(arch, ref_file):
     import torch
     import jax

@@ -54,6 +54,7 @@ def test_sharded_cmc_matches_numpy():
     assert mAP == pytest.approx(ref['mAP'], abs=1e-5)
 
 
+@pytest.mark.slow
 def test_distractor_scale_sharded_retrieval():
     """SURVEY §7 stage 9 / round-1 verdict item 6: drive the sharded
     retrieval at the market1501_500k distractor scale (reference:

@@ -1,0 +1,104 @@
+"""int8 inference path (ops/quant.py): kernel correctness, calibration
+round-trip, trace-time gating, and model-level accuracy preservation."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bpbreid_tpu.ops.quant import (int8_calibration, int8_inference,
+                                   quant_conv, quant_mode)
+
+
+def test_quant_conv_matches_dequantized_reference():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 6, 4)).astype(np.float32)
+    w = rng.normal(size=(3, 3, 4, 5)).astype(np.float32)
+    sx = max(np.abs(x).max(), 1e-6) / 127.0
+
+    got = np.asarray(quant_conv(jnp.asarray(x), jnp.asarray(w), (1, 1),
+                                ((1, 1), (1, 1)), jnp.asarray(sx),
+                                out_dtype=jnp.float32))
+
+    # explicit int-math reference
+    xq = np.clip(np.round(x / sx), -127, 127)
+    sw = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-6) / 127.0
+    wq = np.clip(np.round(w / sw), -127, 127)
+    xp = np.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    want = np.zeros_like(got)
+    for i in range(8):
+        for j in range(6):
+            patch = xp[:, i:i + 3, j:j + 3, :]            # [2,3,3,4]
+            want[:, i, j, :] = np.einsum('nijc,ijcf->nf', patch, wq)
+    want = want * (sx * sw)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+    # int8 error vs the exact float conv stays at quantization scale
+    exact = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    rel = np.abs(got - np.asarray(exact)).max() / np.abs(exact).max()
+    assert rel < 0.05, rel
+
+
+def test_calibrate_then_int8_pconv():
+    from bpbreid_tpu.models.common import PConv
+    m = PConv(8, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+              dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 8, 8, 4)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert quant_mode() == 'off'
+    y_f = m.apply(v, x)
+
+    with int8_calibration():
+        y_c, qvars = m.apply(v, x, mutable=['quant'])
+    # calibration runs the float path and records |x|max
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_f))
+    amax = float(qvars['quant']['act_amax'])
+    assert amax == float(jnp.max(jnp.abs(x)))
+    # running max across batches
+    with int8_calibration():
+        _, qvars2 = m.apply({**v, **qvars}, 0.5 * x, mutable=['quant'])
+    assert float(qvars2['quant']['act_amax']) == amax
+
+    with int8_inference():
+        assert quant_mode() == 'int8'
+        y_q = m.apply({**v, **qvars}, x)
+    assert quant_mode() == 'off'
+    assert np.abs(np.asarray(y_f) - np.asarray(y_q)).max() > 0.0
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_f),
+                               atol=0.05 * float(np.abs(y_f).max()))
+
+    # uncalibrated inference falls back to a dynamic scale, same result
+    with int8_inference():
+        y_dyn = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_dyn), np.asarray(y_q),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_int8_hrnet_preserves_features_and_ranking():
+    """The calibrated int8 backbone must keep BPBreID embeddings close
+    enough that retrieval order is unchanged (the accuracy-parity
+    argument for running the headline bench at int8)."""
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.constants import BN_FOREGROUND
+
+    model = BPBreID(num_classes=8, parts_num=5, backbone='hrnet32',
+                    last_stride=1, dim_reduce='after_pooling',
+                    dim_reduce_output=64)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 64, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    emb_f, vis_f, *_ = model.apply(v, x, train=False)
+    with int8_calibration():
+        _, qvars = model.apply(v, x, train=False, mutable=['quant'])
+    with int8_inference():
+        emb_q, vis_q, *_ = model.apply({**v, **qvars}, x, train=False)
+    f = np.asarray(emb_f[BN_FOREGROUND], np.float32)
+    q = np.asarray(emb_q[BN_FOREGROUND], np.float32)
+    cos = (f * q).sum(-1) / (np.linalg.norm(f, axis=-1)
+                             * np.linalg.norm(q, axis=-1) + 1e-9)
+    assert cos.min() > 0.995, cos
+    np.testing.assert_array_equal(np.asarray(vis_f['parts']),
+                                  np.asarray(vis_q['parts']))

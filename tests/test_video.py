@@ -17,6 +17,7 @@ def test_tracklet_sampling_methods():
     assert ds_short.get('train', 0, 32, 16)['image'].shape == (8, 32, 16, 3)
 
 
+@pytest.mark.slow
 def test_video_engine_train_and_eval(tmp_path):
     import jax
     from bpbreid_tpu.config import get_default_config
