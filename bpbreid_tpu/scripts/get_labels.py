@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ['PoseEstimatorBackend', 'SegmentationBackend',
            'SyntheticPoseBackend', 'OpenPifPafBackend', 'MaskRCNNBackend',
-           'generate_labels']
+           'extract_confidence_fields', 'generate_labels']
 
 
 class PoseEstimatorBackend:
@@ -61,31 +61,61 @@ class SyntheticPoseBackend(PoseEstimatorBackend):
         return fields
 
 
-class OpenPifPafBackend(PoseEstimatorBackend):
-    """openpifpaf confidence fields (reference: get_labels.py:197-279)."""
+def extract_confidence_fields(pif, paf):
+    """Raw PifPaf head fields -> the 36-channel confidence map.
 
-    def __init__(self, checkpoint='shufflenetv2k30'):
-        try:
-            import openpifpaf  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                'openpifpaf is not installed in this environment; use the '
-                "'synthetic' backend or install openpifpaf for real "
-                'labels') from e
-        import openpifpaf
-        import torch
-        self.predictor = openpifpaf.Predictor(checkpoint=checkpoint)
+    This pins the npy layout contract of the reference tool
+    (reference: get_labels.py:254-279): each of the 17 keypoint (pif)
+    fields and 19 joint-association (paf) fields carries its confidence
+    values in plane index 1; the confidence planes are concatenated
+    pif-first along the channel axis.
+
+    Args:
+        pif: [17, P>=2, h, w] keypoint fields.
+        paf: [19, P>=2, h, w] association fields.
+    Returns:
+        [h, w, 36] float32 confidence map (channel-last; callers store
+        channel-first on disk, matching the reference).
+    """
+    pif = np.asarray(pif, np.float32)
+    paf = np.asarray(paf, np.float32)
+    if pif.shape[0] != 17 or paf.shape[0] != 19:
+        raise ValueError('expected 17 pif / 19 paf fields, got '
+                         '{} / {}'.format(pif.shape[0], paf.shape[0]))
+    conf = np.concatenate([pif[:, 1], paf[:, 1]], axis=0)   # [36, h, w]
+    return np.transpose(conf, (1, 2, 0))
+
+
+class OpenPifPafBackend(PoseEstimatorBackend):
+    """openpifpaf confidence fields (reference: get_labels.py:197-279).
+
+    ``predictor`` can be injected (anything exposing the
+    ``openpifpaf.Predictor`` surface used here) for testing without the
+    external dependency.
+    """
+
+    def __init__(self, checkpoint='shufflenetv2k30', predictor=None):
+        if predictor is None:
+            try:
+                import openpifpaf
+            except ImportError as e:
+                raise ImportError(
+                    'openpifpaf is not installed in this environment; use '
+                    "the 'synthetic' backend or install openpifpaf for "
+                    'real labels') from e
+            predictor = openpifpaf.Predictor(checkpoint=checkpoint)
+        self.predictor = predictor
 
     def __call__(self, image):
-        import PIL.Image
-        _pred, _gt, meta = None, None, None
-        fields = None
-        for pred, _, meta in self.predictor.numpy_images([image]):
-            fields = pred
-        # concat pif[:,1] (17) + paf[:,1] (19) confidence planes
-        raise NotImplementedError(
-            'field extraction requires the openpifpaf runtime; '
-            'see reference get_labels.py:254-279')
+        # run the network's preprocessing + forward, keep the raw head
+        # fields (not the decoded skeletons) and extract the confidence
+        # planes — the behavioral contract of reference get_labels.py:
+        # 244-279 (fields_batch -> pif/paf -> [:, 1] -> concat)
+        batch = self.predictor.preprocess_factory()(image)
+        fields = self.predictor.processor.fields_batch(
+            self.predictor.model, batch)[0]
+        pif, paf = fields[0], fields[1]
+        return extract_confidence_fields(pif, paf)
 
 
 class MaskRCNNBackend(SegmentationBackend):

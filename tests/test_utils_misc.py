@@ -70,6 +70,41 @@ def test_get_labels_synthetic(tmp_path):
     assert hwc.shape[-1] == 36
 
 
+def test_pifpaf_confidence_field_layout():
+    """Golden test for the npy layout contract of the real pifpaf
+    backend (reference get_labels.py:254-279): 17 pif + 19 paf fields,
+    confidence at plane index 1, pif-first channel concat."""
+    from bpbreid_tpu.scripts.get_labels import (OpenPifPafBackend,
+                                                extract_confidence_fields)
+    rng = np.random.default_rng(7)
+    pif = rng.random((17, 5, 12, 8)).astype(np.float32)
+    paf = rng.random((19, 9, 12, 8)).astype(np.float32)
+    out = extract_confidence_fields(pif, paf)
+    assert out.shape == (12, 8, 36)
+    np.testing.assert_array_equal(out[..., :17],
+                                  np.transpose(pif[:, 1], (1, 2, 0)))
+    np.testing.assert_array_equal(out[..., 17:],
+                                  np.transpose(paf[:, 1], (1, 2, 0)))
+    with np.testing.assert_raises(ValueError):
+        extract_confidence_fields(pif[:5], paf)
+
+    # backend end-to-end against an injected fake openpifpaf predictor
+    class _FakePredictor:
+        class processor:
+            @staticmethod
+            def fields_batch(model, batch):
+                return [(pif, paf)]
+        model = None
+
+        @staticmethod
+        def preprocess_factory():
+            return lambda image: [image]
+
+    be = OpenPifPafBackend(predictor=_FakePredictor())
+    got = be(np.zeros((64, 32, 3), np.uint8))
+    np.testing.assert_array_equal(got, out)
+
+
 def test_compute_mean_std():
     from bpbreid_tpu.data.datasets import init_image_dataset, clear_dataset_cache
     from bpbreid_tpu.tools.compute_mean_std import compute_mean_std
