@@ -26,6 +26,10 @@ def main():
     args = parser.parse_args()
 
     import jax
+    # persistent compile cache: the HRNet graphs take minutes to compile
+    # through the tunneled backend; cache them across bench invocations
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_bench_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     import numpy as np
     from bpbreid_tpu.constants import BN_FOREGROUND, PARTS
@@ -58,8 +62,11 @@ def main():
     if not args.no_int8:
         from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
         with int8_calibration():
-            _, qvars = model.apply(variables, images, train=False,
-                                   mutable=['quant'])
+            # mode is read at trace time, so the jitted calibration
+            # graph is traced (and therefore quant-recording) here
+            _, qvars = jax.jit(
+                lambda v, x: model.apply(v, x, train=False,
+                                         mutable=['quant']))(variables, images)
         variables = {**variables, **qvars}
         with int8_inference():
             out = forward(variables, images)

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bpbreid_tpu.ops.quant import quant_conv, quant_mode
+from bpbreid_tpu.ops.quant import (QTensor, dequantize, quant_conv,
+                                   quant_mode, quantize_static)
 
 BN_MOMENTUM = 0.9   # == torch momentum 0.1 (flax momentum keeps the old value)
 BN_EPS = 1e-5
@@ -38,8 +39,9 @@ class PConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        data = x.q if isinstance(x, QTensor) else x
         kshape = (*self.kernel_size,
-                  x.shape[-1] // self.feature_group_count, self.features)
+                  data.shape[-1] // self.feature_group_count, self.features)
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             kshape, jnp.float32)
         bias = self.param('bias', nn.initializers.zeros,
@@ -51,7 +53,13 @@ class PConv(nn.Module):
                                  lambda: jnp.zeros((), jnp.float32))
             amax.value = jnp.maximum(
                 amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
-        if mode == 'int8':
+        if isinstance(x, QTensor):
+            # pre-quantized by the enclosing block/module (shared int8
+            # copy across all consumers) — scale travels with the tensor
+            y = quant_conv(x, kernel, tuple(self.strides), self.padding,
+                           groups=self.feature_group_count,
+                           out_dtype=self.dtype)
+        elif mode == 'int8':
             if self.has_variable('quant', 'act_amax'):
                 scale = self.get_variable('quant', 'act_amax') / 127.0
             else:     # uncalibrated: dynamic per-tensor fallback
@@ -68,6 +76,30 @@ class PConv(nn.Module):
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
+
+
+def calibrated_quant(module, x, name='in_amax'):
+    """Module-level single-quantization point for a hot tensor.
+
+    In ``calibrate`` mode: records the running |x|max into the module's
+    ``quant`` collection under ``name`` and returns ``x`` unchanged.
+    In ``int8`` mode (with a calibrated scale present): returns a
+    ``QTensor`` — one int8 HBM copy shared by every consumer (convs use
+    it directly; residual/fusion adds read it through ``dequantize``,
+    which fuses). Otherwise returns ``x`` unchanged.
+    """
+    if isinstance(x, QTensor):      # already quantized by an outer scope
+        return x
+    mode = quant_mode()
+    if mode == 'calibrate':
+        amax = module.variable('quant', name,
+                               lambda: jnp.zeros((), jnp.float32))
+        amax.value = jnp.maximum(
+            amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        return x
+    if mode == 'int8' and module.has_variable('quant', name):
+        return quantize_static(x, module.get_variable('quant', name) / 127.0)
+    return x
 
 
 def conv(x, features, kernel, stride=1, name='conv', dtype=jnp.float32,
@@ -96,7 +128,8 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        residual = x
+        x = calibrated_quant(self, x)
+        residual = dequantize(x, self.dtype) if isinstance(x, QTensor) else x
         out = nn.relu(bn(conv(x, self.planes, 3, self.stride, 'conv1',
                               self.dtype), train, 'bn1', self.dtype))
         out = bn(conv(out, self.planes, 3, 1, 'conv2', self.dtype),
@@ -121,7 +154,8 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        residual = x
+        x = calibrated_quant(self, x)
+        residual = dequantize(x, self.dtype) if isinstance(x, QTensor) else x
         width = int(self.planes * (self.base_width / 64.0)) * self.groups
         out = nn.relu(bn(conv(x, width, 1, 1, 'conv1', self.dtype),
                          train, 'bn1', self.dtype))
@@ -149,7 +183,8 @@ class ResLayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         expansion = self.block.expansion
-        needs_ds = self.stride != 1 or x.shape[-1] != self.planes * expansion
+        cin = (x.q if isinstance(x, QTensor) else x).shape[-1]
+        needs_ds = self.stride != 1 or cin != self.planes * expansion
         x = self.block(self.planes, self.stride, needs_ds, groups=self.groups,
                        base_width=self.base_width, dtype=self.dtype,
                        name='0')(x, train)

@@ -20,7 +20,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bpbreid_tpu.models.common import (BN_EPS, BN_MOMENTUM, BasicBlock,
-                                        Bottleneck, PConv, ResLayer)
+                                        Bottleneck, PConv, ResLayer,
+                                        calibrated_quant)
+from bpbreid_tpu.ops.quant import QTensor, dequantize
 from bpbreid_tpu.ops.resize import resize_bilinear_align_corners
 
 # (num_modules, num_branches, num_blocks, channels) per stage
@@ -72,13 +74,21 @@ class HighResolutionModule(nn.Module):
         xs = [ResLayer(BasicBlock, self.num_channels[i], self.num_blocks[i],
                        dtype=self.dtype, name='branches.{}'.format(i))(xs[i], train)
               for i in range(b)]
+        # int8 inference: quantize each branch output ONCE — the i==j
+        # identity use, up to 3 fuse convs and the downsample chains all
+        # read the same int8 copy (otherwise every fuse conv quantizes
+        # with its own scale and XLA materializes per-conv int8 copies
+        # PLUS the float copy for the identity term)
+        xs = [calibrated_quant(self, xs[j], name='branch_amax_{}'.format(j))
+              for j in range(b)]
         n_out = b if self.multi_scale_output else 1
         outs = []
         for i in range(n_out):
             y = None
             for j in range(b):
                 if j == i:
-                    t = xs[j]
+                    t = dequantize(xs[j], self.dtype) \
+                        if isinstance(xs[j], QTensor) else xs[j]
                 elif j > i:
                     # 1x1 conv + BN then nearest-upsample by 2^(j-i)
                     t = PConv(self.num_channels[i], (1, 1), use_bias=False,
@@ -144,6 +154,13 @@ class HighResolutionNet(nn.Module):
         for si, stage in enumerate(('stage2', 'stage3', 'stage4')):
             n_mod, n_br, n_blocks, channels = HRNET_W32_STAGES[stage]
             tname = 'transition{}'.format(si + 1)
+            # int8: one shared quantized copy per stage input — each
+            # tensor here can feed several transition convs AND pass
+            # through to the next stage's blocks (per-consumer scales
+            # would materialize duplicate int8 + float copies)
+            xs = [calibrated_quant(self, xs[i],
+                                   name='{}_in_amax_{}'.format(stage, i))
+                  for i in range(len(xs))]
             new_xs = []
             for i in range(n_br):
                 if i < len(prev_channels):

@@ -31,11 +31,13 @@ of the reference's fp32 inference (torchreid/models/hrnet.py:314-620).
 """
 import contextlib
 import contextvars
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ['int8_inference', 'int8_calibration', 'quant_mode', 'quant_conv']
+__all__ = ['int8_inference', 'int8_calibration', 'quant_mode', 'quant_conv',
+           'QTensor', 'quantize_static', 'dequantize']
 
 _MODE = contextvars.ContextVar('bpbreid_quant_mode', default='off')
 
@@ -64,6 +66,32 @@ def quant_mode():
     return _MODE.get()
 
 
+class QTensor(NamedTuple):
+    """An int8-quantized activation tensor with its static scale.
+
+    Produced once per hot tensor (block input / branch output) so every
+    consumer — convs AND residual/fusion adds — reads the same int8 HBM
+    copy instead of XLA materializing a float copy next to per-conv int8
+    copies (measured: per-conv quantization made int8 end-to-end neutral
+    because each residual kept a full bf16 copy of the block input
+    alive)."""
+    q: Any          # int8 data, layout of the original tensor
+    scale: Any      # () float32: dequant multiplier (|x|max / 127)
+
+
+def quantize_static(x, act_scale):
+    """x (float) -> QTensor with the given static per-tensor scale."""
+    sx = jnp.maximum(jnp.asarray(act_scale, jnp.float32), 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                 -127, 127).astype(jnp.int8)
+    return QTensor(q, sx)
+
+
+def dequantize(qt, dtype=jnp.bfloat16):
+    """QTensor -> float tensor (fuses into the consuming add/mul)."""
+    return (qt.q.astype(jnp.float32) * qt.scale).astype(dtype)
+
+
 def _quantize_weight_per_channel(w):
     """[kh, kw, cin, cout] -> int8 with one scale per output channel."""
     scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-6) / 127.0
@@ -71,22 +99,26 @@ def _quantize_weight_per_channel(w):
     return q, scale
 
 
-def quant_conv(x, kernel, strides, padding, act_scale, groups=1,
+def quant_conv(x, kernel, strides, padding, act_scale=None, groups=1,
                out_dtype=jnp.bfloat16):
     """int8 x int8 -> int32 convolution with dequantized output.
 
     Args:
-        x: [N, H, W, Cin] activations (any float dtype).
+        x: [N, H, W, Cin] activations — either a float tensor (quantized
+            here with ``act_scale``) or an already-quantized ``QTensor``
+            (``act_scale`` ignored; zero-point is 0 so conv padding is
+            exact in the quantized domain).
         kernel: [kh, kw, Cin/groups, Cout] float weights.
         act_scale: static per-tensor activation scale (|x|max/127 from
-            calibration) — a scalar array.
+            calibration) — a scalar array. Required for float ``x``.
         strides/padding: as for lax.conv_general_dilated (NHWC/HWIO).
     Returns:
         [N, H', W', Cout] in ``out_dtype``.
     """
-    sx = jnp.maximum(act_scale, 1e-8)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
-                  -127, 127).astype(jnp.int8)
+    if isinstance(x, QTensor):
+        xq, sx = x.q, x.scale
+    else:
+        xq, sx = quantize_static(x, act_scale)
     wq, sw = _quantize_weight_per_channel(kernel.astype(jnp.float32))
     y = jax.lax.conv_general_dilated(
         xq, wq, strides, padding,
