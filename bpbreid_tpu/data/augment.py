@@ -40,18 +40,23 @@ def _hflip(imgs, masks, rng):
 
 
 def _pad_crop(imgs, masks, rng, pad=10):
+    # Per-sample crops as two separable take_along_axis gathers: a
+    # vmap'd dynamic_slice lowers to a sequential per-sample while loop
+    # on TPU (measured ~5 ms/step at batch 64), while batched gathers
+    # vectorize.
     n, h, w, _ = imgs.shape
-    ip = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     off = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
+    yidx = off[:, 0:1] + jnp.arange(h)[None, :]          # [n, h]
+    xidx = off[:, 1:2] + jnp.arange(w)[None, :]          # [n, w]
 
-    def crop_one(x, o):
-        return jax.lax.dynamic_slice(
-            x, (o[0], o[1], 0), (h, w, x.shape[-1]))
+    def crop(x):
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        rows = jnp.take_along_axis(xp, yidx[:, :, None, None], axis=1)
+        return jnp.take_along_axis(rows, xidx[:, None, :, None], axis=2)
 
-    imgs = jax.vmap(crop_one)(ip, off)
+    imgs = crop(imgs)
     if masks is not None:
-        mp = jnp.pad(masks, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        masks = jax.vmap(crop_one)(mp, off)
+        masks = crop(masks)
     return imgs, masks
 
 
@@ -170,19 +175,31 @@ def _coarse_dropout(imgs, masks, rng, mean=IMAGENET_MEAN, p=0.5):
     return imgs, masks
 
 
-def mask_chain(masks, grouping_matrix=None, combine='max', special=None,
-               background_strategy='threshold', softmax_weight=15.0,
-               mask_filtering_threshold=0.5, mask_scale=4):
-    """Grouping -> background -> nearest /mask_scale downscale
-    (reference mask chain: transforms.py:133-158)."""
+def _group_only(masks, grouping_matrix=None, combine='max', special=None,
+                **_unused):
+    """Channel-grouping half of the mask chain (36 -> K channels)."""
     if special is not None:
-        masks = group_masks_special(masks, special)
-    elif grouping_matrix is not None:
-        masks = group_masks(masks, grouping_matrix, combine)
+        return group_masks_special(masks, special)
+    if grouping_matrix is not None:
+        return group_masks(masks, grouping_matrix, combine)
+    return masks
+
+
+def _background_downscale(masks, background_strategy='threshold',
+                          softmax_weight=15.0, mask_filtering_threshold=0.5,
+                          mask_scale=4, **_unused):
+    """Background + /mask_scale downscale half of the mask chain."""
     masks = add_background_mask(masks, background_strategy, softmax_weight,
                                 mask_filtering_threshold)
     h, w = masks.shape[-3], masks.shape[-2]
     return resize_nearest(masks, h // mask_scale, w // mask_scale)
+
+
+def mask_chain(masks, **mask_kwargs):
+    """Grouping -> background -> nearest /mask_scale downscale
+    (reference mask chain: transforms.py:133-158)."""
+    return _background_downscale(_group_only(masks, **mask_kwargs),
+                                 **mask_kwargs)
 
 
 def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
@@ -203,6 +220,15 @@ def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
     transforms = [t.lower() for t in (transforms or [])]
     imgs = imgs_u8.astype(jnp.float32) / 255.0
     r = jax.random.split(rng, 4)
+    # The channel-grouping matmul (36 -> K) is purely channelwise, so it
+    # commutes EXACTLY with every spatial op below (flip/crop gathers,
+    # zero padding, erase zero-fill: max/sum of zeros is zero). Running
+    # it first shrinks all full-resolution mask passes from 36 to K+eps
+    # channels (~6x less HBM traffic in the augmentation graph); the
+    # background step stays after the spatial ops, as in the reference
+    # pipeline (transforms.py:133-158 runs it after the dual transforms).
+    if masks is not None:
+        masks = _group_only(masks, **(mask_kwargs or {}))
     if 'random_flip' in transforms or 'rf' in transforms:
         imgs, masks = _hflip(imgs, masks, r[0])
     if 'random_crop' in transforms or 'rc' in transforms:
@@ -214,7 +240,7 @@ def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
     if 'random_erase' in transforms or 're' in transforms:
         imgs, masks = _coarse_dropout(imgs, masks, r[3], mean=norm_mean)
     if masks is not None:
-        masks = mask_chain(masks, **(mask_kwargs or {}))
+        masks = _background_downscale(masks, **(mask_kwargs or {}))
     return imgs, masks
 
 

@@ -249,5 +249,9 @@ def evaluate_rank(distmat, q_pids, g_pids, q_camids, g_camids, max_rank=50,
                 pass
         return eval_market1501(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     elif eval_metric == 'cuhk03':
+        # the vectorized numpy path stays the default: its fixed-seed
+        # sampling stream is identical on every host, while the native
+        # kernel (native/rank.py eval_cuhk03 — same speed class) uses
+        # its own counter-based stream
         return eval_cuhk03(distmat, q_pids, g_pids, q_camids, g_camids, max_rank)
     raise ValueError("Incorrect eval_metric value '{}'".format(eval_metric))

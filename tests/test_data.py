@@ -89,6 +89,43 @@ def test_augment_pipeline_shapes(synth):
     assert masks2.shape == (4, 16, 8, 6)
 
 
+def test_group_first_mask_order_is_exact(synth):
+    """The pipeline groups mask channels (36 -> K) BEFORE the spatial
+    ops for HBM-traffic reasons; grouping is purely channelwise, so the
+    result must be bit-comparable to the reference order (spatial ops on
+    the raw 36-channel masks, then the full chain)."""
+    import jax
+    from bpbreid_tpu.data.augment import (_coarse_dropout, _hflip,
+                                          _normalize, _pad_crop, mask_chain,
+                                          train_augment)
+    from bpbreid_tpu.ops.masks import get_grouping
+    loader = BatchLoader(synth, 'train', 4, 64, 32, num_workers=1)
+    batch = next(iter(loader))
+    spec = get_grouping('five_v')
+    mask_kwargs = dict(grouping_matrix=spec.matrix, combine=spec.combine,
+                       background_strategy='threshold', softmax_weight=15.0,
+                       mask_filtering_threshold=0.5)
+    imgs_u8 = jnp.asarray(batch['image'])
+    raw = jnp.asarray(batch['mask'])
+    key = jax.random.PRNGKey(3)
+
+    got_imgs, got_masks = train_augment(
+        imgs_u8, raw, key, transforms=('rf', 'rc', 're'),
+        mask_kwargs=mask_kwargs)
+
+    # reference order with the same per-transform key splits
+    r = jax.random.split(key, 4)
+    imgs = imgs_u8.astype(jnp.float32) / 255.0
+    imgs, masks = _hflip(imgs, raw, r[0])
+    imgs, masks = _pad_crop(imgs, masks, r[1])
+    imgs = _normalize(imgs)
+    imgs, masks = _coarse_dropout(imgs, masks, r[3])
+    masks = mask_chain(masks, **mask_kwargs)
+    np.testing.assert_allclose(np.asarray(got_imgs), np.asarray(imgs))
+    np.testing.assert_allclose(np.asarray(got_masks), np.asarray(masks),
+                               atol=1e-6)
+
+
 def test_augment_deterministic_under_same_key(synth):
     from bpbreid_tpu.data.augment import train_augment
     loader = BatchLoader(synth, 'train', 4, 64, 32, num_workers=1)

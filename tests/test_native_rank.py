@@ -42,6 +42,58 @@ def test_dispatcher_uses_native():
 
 @pytest.mark.skipif(not native_rank.is_available(),
                     reason='g++ unavailable')
+@pytest.mark.parametrize('seed', [0, 3])
+def test_native_cuhk03_matches_numpy(seed):
+    """mAP is sampling-free and must be exact; CMC is a Monte-Carlo
+    average over single-shot resamples (independent streams), so it
+    converges to the numpy implementation as num_repeats grows."""
+    from bpbreid_tpu.metrics.rank import eval_cuhk03
+    rng = np.random.default_rng(seed)
+    num_q, num_g = 30, 200
+    distmat = rng.random((num_q, num_g)).astype(np.float32)
+    q_pids = rng.integers(0, 12, num_q)
+    g_pids = rng.integers(0, 12, num_g)
+    q_cam = rng.integers(0, 4, num_q)
+    g_cam = rng.integers(0, 4, num_g)
+    ref = eval_cuhk03(distmat, q_pids, g_pids, q_cam, g_cam, 15,
+                      num_repeats=800, rng=np.random.default_rng(0))
+    got = native_rank.eval_cuhk03(distmat, q_pids, g_pids, q_cam, g_cam, 15,
+                                  num_repeats=800, seed=1)
+    assert got['mAP'] == pytest.approx(ref['mAP'], abs=1e-6)
+    np.testing.assert_allclose(got['cmc'], ref['cmc'], atol=0.03)
+
+    # deterministic: same seed, any thread count
+    a = native_rank.eval_cuhk03(distmat, q_pids, g_pids, q_cam, g_cam, 15,
+                                num_repeats=10, seed=7, num_threads=1)
+    b = native_rank.eval_cuhk03(distmat, q_pids, g_pids, q_cam, g_cam, 15,
+                                num_repeats=10, seed=7, num_threads=8)
+    np.testing.assert_array_equal(a['cmc'], b['cmc'])
+    assert a['mAP'] == b['mAP']
+
+
+@pytest.mark.skipif(not native_rank.is_available(),
+                    reason='g++ unavailable')
+def test_dispatcher_cuhk03_stays_on_numpy():
+    """The cuhk03 dispatcher deliberately keeps the vectorized numpy
+    path (host-independent sampling stream); the native kernel agrees
+    on mAP exactly."""
+    from bpbreid_tpu.metrics.rank import eval_cuhk03
+    rng = np.random.default_rng(11)
+    distmat = rng.random((12, 80)).astype(np.float32)
+    q_pids = rng.integers(0, 6, 12)
+    g_pids = rng.integers(0, 6, 80)
+    q_cam = rng.integers(0, 3, 12)
+    g_cam = rng.integers(0, 3, 80)
+    out = evaluate_rank(distmat, q_pids, g_pids, q_cam, g_cam,
+                        max_rank=10, eval_metric='cuhk03', use_native=True)
+    ref = eval_cuhk03(distmat, q_pids, g_pids, q_cam, g_cam, 10)
+    np.testing.assert_array_equal(out['cmc'], ref['cmc'])
+    nat = native_rank.eval_cuhk03(distmat, q_pids, g_pids, q_cam, g_cam, 10)
+    assert nat['mAP'] == pytest.approx(ref['mAP'], abs=1e-6)
+
+
+@pytest.mark.skipif(not native_rank.is_available(),
+                    reason='g++ unavailable')
 def test_native_speedup_on_large_gallery():
     import time
     rng = np.random.default_rng(9)
