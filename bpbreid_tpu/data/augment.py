@@ -30,6 +30,18 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def _masks_to_image_grid(masks, h, w):
+    """Device-side bilinear upsample of native-resolution confidence
+    fields to the image grid. Half-pixel convention — the same sampling
+    cv2.INTER_LINEAR used when the host did this resize; moving it on
+    device cuts the [B, H, W, 36] float host->device transfer (~450 MB
+    per batch-64 step at 384x128) to the fields' native footprint."""
+    if masks.shape[1:3] == (h, w):
+        return masks
+    return jax.image.resize(
+        masks, (masks.shape[0], h, w, masks.shape[3]), 'linear')
+
+
 def _hflip(imgs, masks, rng):
     flip = jax.random.bernoulli(rng, 0.5, (imgs.shape[0], 1, 1, 1))
     flipped = imgs[:, :, ::-1]
@@ -228,6 +240,7 @@ def train_augment(imgs_u8, masks, rng, transforms=('rc', 're'),
     # background step stays after the spatial ops, as in the reference
     # pipeline (transforms.py:133-158 runs it after the dual transforms).
     if masks is not None:
+        masks = _masks_to_image_grid(masks, imgs.shape[1], imgs.shape[2])
         masks = _group_only(masks, **(mask_kwargs or {}))
     if 'random_flip' in transforms or 'rf' in transforms:
         imgs, masks = _hflip(imgs, masks, r[0])
@@ -249,5 +262,6 @@ def eval_preprocess(imgs_u8, masks=None, norm_mean=IMAGENET_MEAN,
     """Test-time pipeline: normalize + mask chain only."""
     imgs = _normalize(imgs_u8.astype(jnp.float32) / 255.0, norm_mean, norm_std)
     if masks is not None:
+        masks = _masks_to_image_grid(masks, imgs.shape[1], imgs.shape[2])
         masks = mask_chain(masks, **(mask_kwargs or {}))
     return imgs, masks

@@ -183,7 +183,15 @@ class ImageDataset(Dataset):
     the raw mask tensor resized to the same grid
     (host-side part of torchreid/data/datasets/dataset.py:308-342)."""
 
-    def get(self, mode, index, height=None, width=None):
+    def get(self, mode, index, height=None, width=None, mask_grid=None):
+        """``mask_grid`` (mh, mw): host-side grid for the confidence
+        fields. The fields are stored near their estimator's native
+        (low) resolution, so shipping them to the device at a fraction
+        of the image grid and bilinear-upsampling there (augment.py)
+        loses nothing while cutting host->device transfer by the square
+        of the scale — the [B, H, W, 36] float mask batch is otherwise
+        ~50x the image bytes. None keeps the legacy full-grid behavior.
+        """
         import cv2
         sample = dict(self.data(mode)[index])
         if 'img' in sample:
@@ -202,9 +210,11 @@ class ImageDataset(Dataset):
                 masks = read_masks(sample['masks_path'])
             else:
                 raise ValueError('use_masks=True but sample has no masks')
-            if height is not None and (masks.shape[0] != height
-                                       or masks.shape[1] != width):
-                masks = cv2.resize(masks, (width, height),
+            mh, mw = (mask_grid if mask_grid is not None
+                      else (height, width))
+            if mh is not None and (masks.shape[0] != mh
+                                   or masks.shape[1] != mw):
+                masks = cv2.resize(masks, (mw, mh),
                                    interpolation=cv2.INTER_LINEAR)
             sample['mask'] = masks.astype(np.float32)
         return sample

@@ -301,10 +301,14 @@ class SyntheticDataset(ImageDataset):
                         img = (base[None, None, :]
                                + r.integers(0, 56, (height, width, 3))
                                ).astype(np.uint8)
-                        masks = r.random((height // 2, width // 2, 36)
-                                         ).astype(np.float32) * 0.5
+                        # fields at ~1/8 of the image grid, like real
+                        # pifpaf output (the loader ships them at this
+                        # scale and the device pipeline upsamples)
+                        fh = max(2, height // 8)
+                        fw = max(2, width // 8)
+                        masks = r.random((fh, fw, 36)).astype(np.float32) * 0.5
                         # concentrate some signal per body region
-                        masks[:(height // 4), :, :5] += 0.5
+                        masks[:max(1, fh // 2), :, :5] += 0.5
                         data.append({'img': img, 'masks': masks,
                                      'img_path': 'synthetic://{}_{}_{}'.format(pid, camid, i),
                                      'masks_path': None,

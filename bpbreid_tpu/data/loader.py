@@ -26,13 +26,20 @@ class BatchLoader:
 
     def __init__(self, dataset, mode, batch_size, height, width,
                  sampler=None, num_workers=4, drop_last=False,
-                 pad_last=True, host_transform=None):
+                 pad_last=True, host_transform=None, mask_grid_scale=8):
         self.host_transform = host_transform
         self.dataset = dataset
         self.mode = mode
         self.batch_size = batch_size
         self.height = height
         self.width = width
+        # ship confidence fields at a fraction of the image grid (they
+        # are stored near this resolution anyway); the device pipeline
+        # bilinear-upsamples them — see ImageDataset.get
+        self.mask_grid = None
+        if mask_grid_scale and mask_grid_scale > 1:
+            self.mask_grid = (max(1, height // mask_grid_scale),
+                              max(1, width // mask_grid_scale))
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
@@ -55,7 +62,12 @@ class BatchLoader:
         return list(range(self.dataset.len(self.mode)))
 
     def _fetch(self, idx):
-        sample = self.dataset.get(self.mode, idx, self.height, self.width)
+        try:
+            sample = self.dataset.get(self.mode, idx, self.height,
+                                      self.width, mask_grid=self.mask_grid)
+        except TypeError:       # datasets with a legacy get() signature
+            sample = self.dataset.get(self.mode, idx, self.height,
+                                      self.width)
         if self.host_transform is not None:
             sample['image'] = self.host_transform(sample['image'])
         return sample

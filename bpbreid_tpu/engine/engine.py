@@ -17,7 +17,39 @@ import numpy as np
 from bpbreid_tpu.utils.avgmeter import AverageMeter, MetricsSummary, TimeMeter
 from bpbreid_tpu.utils.engine_state import EngineState
 
-__all__ = ['Engine']
+__all__ = ['Engine', 'device_prefetch']
+
+
+def device_prefetch(loader, depth=2, keys=('image', 'mask', 'pid')):
+    """Issue host->device transfers ``depth`` batches ahead of use.
+
+    Transfers run on a dedicated thread (``device_put`` can block until
+    the copy lands, e.g. through a tunneled backend) so the NEXT batch
+    moves host->device while the current step computes — hiding
+    transfer and dispatch latency, which dominates the step on remote
+    backends and is still several ms of PCIe time per batch on a local
+    host. Host-side fields (camid/valid/index/paths) stay numpy.
+    """
+    import jax
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def to_device(batch):
+        out = dict(batch)
+        for k in keys:
+            if k in out and isinstance(out[k], np.ndarray):
+                out[k] = jax.device_put(out[k])
+        return out
+
+    # single worker => transfers stay in batch order
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        q = deque()
+        for batch in loader:
+            q.append(pool.submit(to_device, batch))
+            if len(q) > depth:
+                yield q.popleft().result()
+        while q:
+            yield q.popleft().result()
 
 
 class Engine:
@@ -151,7 +183,8 @@ class Engine:
         self.engine_state.epoch_started()
         num_batches = len(self.datamanager.train_loader)
         end = time.perf_counter()
-        for batch_idx, batch in enumerate(self.datamanager.train_loader):
+        for batch_idx, batch in enumerate(
+                device_prefetch(self.datamanager.train_loader)):
             data_time.meter.update(time.perf_counter() - end)
             self.engine_state.batch_started()
             loss, loss_summary = self.forward_backward(batch)

@@ -99,7 +99,9 @@ class ImageSoftmaxEngine(Engine):
         return loss, {'softmax': {'loss': loss, 'acc': acc}}
 
     def _train_step_impl(self, state, imgs_u8, pids, rng, freeze_base=False):
-        aug_rng, model_rng = jax.random.split(rng)
+        # carry key derived in-jit: no per-step host split dispatch
+        # (see part_based._train_step_impl)
+        next_rng, aug_rng, model_rng = jax.random.split(rng, 3)
         cj = self.config.data.cj if self.config else None
         cj_kwargs = dict(cj_brightness=cj.brightness, cj_contrast=cj.contrast,
                          cj_saturation=cj.saturation, cj_hue=cj.hue,
@@ -135,7 +137,7 @@ class ImageSoftmaxEngine(Engine):
                                         updates)
         return state.replace(params=params, batch_stats=bs,
                              opt_state=opt_state, step=state.step + 1), \
-            loss, summary
+            next_rng, loss, summary
 
     def _eval_step_impl(self, params, batch_stats, imgs_u8):
         imgs, _ = eval_preprocess(imgs_u8, None, norm_mean=self.norm_mean,
@@ -147,11 +149,13 @@ class ImageSoftmaxEngine(Engine):
     def forward_backward(self, batch):
         if self.state is None:
             self.init_state()
-        self._rng, rng = jax.random.split(self._rng)
-        self.state, loss, summary = self._train_step(
+        self.state, self._rng, loss, summary = self._train_step(
             self.state, jnp.asarray(batch['image']),
-            jnp.asarray(batch['pid']), rng, freeze_base=self._freeze_base)
-        return float(loss), jax.tree_util.tree_map(float, summary)
+            jnp.asarray(batch['pid']), self._rng,
+            freeze_base=self._freeze_base)
+        # device scalars: MetricsSummary drains them lazily (see
+        # part_based.forward_backward) so the step pipeline never blocks
+        return loss, summary
 
     def _feature_extraction(self, loader):
         f_, pids_, camids_ = [], [], []

@@ -91,6 +91,12 @@ class ImagePartBasedEngine(Engine):
                                    static_argnames=('freeze_base',),
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        # calibrated int8 eval path (cfg.test.int8): built lazily on the
+        # first eval batch — quant mode is read at trace time, so the
+        # int8 graph needs its own jitted callable traced inside
+        # int8_inference() (see ops/quant.py)
+        self._int8_eval_step = None
+        self._quant_coll = None
 
     # ------------------------------------------------------------------
     # state init / checkpointing
@@ -172,7 +178,11 @@ class ImagePartBasedEngine(Engine):
 
     def _train_step_impl(self, state, imgs_u8, raw_masks, pids, rng,
                          freeze_base=False):
-        aug_rng, model_rng = jax.random.split(rng)
+        # the step's keys AND the next step's carry key are derived
+        # inside the jit: the host never dispatches a separate
+        # random.split kernel per step (a measurable RPC through a
+        # tunneled/remote backend)
+        next_rng, aug_rng, model_rng = jax.random.split(rng, 3)
         imgs, masks = train_augment(
             imgs_u8, raw_masks, aug_rng, transforms=tuple(self.transforms),
             norm_mean=self.norm_mean, norm_std=self.norm_std,
@@ -202,16 +212,18 @@ class ImagePartBasedEngine(Engine):
                                   batch_stats=new_batch_stats,
                                   opt_state=new_opt_state,
                                   step=state.step + 1)
-        return new_state, loss, loss_summary
+        return new_state, next_rng, loss, loss_summary
 
-    def _eval_step_impl(self, params, batch_stats, imgs_u8, raw_masks):
+    def _eval_step_impl(self, params, batch_stats, imgs_u8, raw_masks,
+                        quant=None):
         imgs, masks = eval_preprocess(imgs_u8, raw_masks,
                                       norm_mean=self.norm_mean,
                                       norm_std=self.norm_std,
                                       mask_kwargs=self.mask_kwargs)
-        outputs = self.model.apply(
-            {'params': params, 'batch_stats': batch_stats}, imgs, masks,
-            train=False)
+        variables = {'params': params, 'batch_stats': batch_stats}
+        if quant is not None:
+            variables['quant'] = quant
+        outputs = self.model.apply(variables, imgs, masks, train=False)
         features, visibility, parts_masks, pixels_cls_scores = \
             self.extract_test_embeddings(outputs)
         # pixel part-prediction accuracy vs the target masks
@@ -254,7 +266,6 @@ class ImagePartBasedEngine(Engine):
     def forward_backward(self, batch):
         if self.state is None:
             self.init_state()
-        self._rng, rng = jax.random.split(self._rng)
         imgs = jnp.asarray(batch['image'])
         masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
         pids = jnp.asarray(batch['pid'])
@@ -264,16 +275,18 @@ class ImagePartBasedEngine(Engine):
             pids = jax.device_put(pids, sharding)
             if masks is not None:
                 masks = jax.device_put(masks, sharding)
-        self.state, loss, loss_summary = self._train_step(
-            self.state, imgs, masks, pids, rng,
+        self.state, self._rng, loss, loss_summary = self._train_step(
+            self.state, imgs, masks, pids, self._rng,
             freeze_base=self._freeze_base)
-        summary = jax.tree_util.tree_map(float, loss_summary)
 
         freq = getattr(self.config.train, 'batch_debug_freq', 0) \
             if self.config is not None else 0
         if freq and self.engine_state.global_step % freq == 0:
             self._debug_visualize_batch(batch)
-        return float(loss), summary
+        # device scalars, NOT floats: a host readback here would block
+        # on the async step every batch and serialize the pipeline —
+        # MetricsSummary drains them lazily at print/log events
+        return loss, loss_summary
 
     def _debug_visualize_batch(self, batch, max_samples=4):
         """Per-batch feature-map/part-mask debug dump, gated by
@@ -306,20 +319,62 @@ class ImagePartBasedEngine(Engine):
         except Exception as e:                        # debug-only path
             print('feature-map debug visualization failed: {}'.format(e))
 
+    def _maybe_int8_eval_step(self, imgs, masks):
+        """Return the int8 eval step (calibrating on this batch the
+        first time) when cfg.test.int8 is on; None otherwise."""
+        if self.config is None or not getattr(self.config.test, 'int8', False):
+            return None
+        if self._int8_eval_step is None:
+            from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
+
+            def calibrate(params, batch_stats, imgs_u8, raw_masks):
+                im, m = eval_preprocess(imgs_u8, raw_masks,
+                                        norm_mean=self.norm_mean,
+                                        norm_std=self.norm_std,
+                                        mask_kwargs=self.mask_kwargs)
+                _, qvars = self.model.apply(
+                    {'params': params, 'batch_stats': batch_stats}, im, m,
+                    train=False, mutable=['quant'])
+                return qvars
+
+            with int8_calibration():
+                qvars = jax.jit(calibrate)(self.state.params,
+                                           self.state.batch_stats,
+                                           imgs, masks)
+            self._quant_coll = qvars['quant']
+            step = jax.jit(self._eval_step_impl)
+
+            def int8_step(*args):
+                # quant mode is read at trace time: every (re)trace of
+                # this callable — first call or a new batch shape —
+                # must happen inside int8_inference()
+                with int8_inference():
+                    return step(*args)
+
+            self._int8_eval_step = int8_step
+        return self._int8_eval_step
+
     def _feature_extraction(self, loader):
         f_, vis_, pids_, camids_ = [], [], [], []
         pxl_correct = pxl_total = 0.0
+        from bpbreid_tpu.engine.engine import device_prefetch
         sharding = getattr(self, 'batch_sharding', None)
         n_dev = self.mesh.devices.size if getattr(self, 'mesh', None) else 1
-        for batch in loader:
+        for batch in device_prefetch(loader):
             imgs = jnp.asarray(batch['image'])
             masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
             if sharding is not None and imgs.shape[0] % n_dev == 0:
                 imgs = jax.device_put(imgs, sharding)
                 if masks is not None:
                     masks = jax.device_put(masks, sharding)
-            (feats, vis, _masks, _pxl, _m, corr, tot) = self._eval_step(
-                self.state.params, self.state.batch_stats, imgs, masks)
+            int8_step = self._maybe_int8_eval_step(imgs, masks)
+            if int8_step is not None:
+                (feats, vis, _masks, _pxl, _m, corr, tot) = int8_step(
+                    self.state.params, self.state.batch_stats, imgs, masks,
+                    self._quant_coll)
+            else:
+                (feats, vis, _masks, _pxl, _m, corr, tot) = self._eval_step(
+                    self.state.params, self.state.batch_stats, imgs, masks)
             valid = batch['valid']
             f_.append(np.asarray(feats)[valid])
             vis_.append(np.asarray(vis)[valid])

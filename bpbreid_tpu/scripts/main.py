@@ -256,7 +256,29 @@ def maybe_load_hrnet_imagenet(engine, cfg):
               'random init'.format(path))
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache for CLI runs: the HRNet train/eval
+    graphs take minutes to compile (longer through a tunneled backend);
+    repeated invocations with the same config hit the disk cache.
+
+    Also re-asserts JAX_PLATFORMS from the environment: some deploy
+    images install a sitecustomize that forces their own platform AFTER
+    env processing, silently overriding ``JAX_PLATFORMS=cpu`` — the
+    same guard tests/conftest.py applies for pytest."""
+    import jax
+    plat = os.environ.get('JAX_PLATFORMS')
+    if plat:
+        jax.config.update('jax_platforms', plat)
+    cache_dir = os.environ.get(
+        'BPBREID_TPU_COMPILE_CACHE',
+        osp.expanduser('~/.cache/bpbreid_tpu_jax'))
+    if cache_dir and cache_dir != '0':
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
 def main(argv=None):
+    _enable_compile_cache()
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     parser.add_argument('--config-file', type=str, default='')

@@ -32,17 +32,33 @@ class AverageMeter:
 
 
 class MetricsSummary:
-    """Nested dict of AverageMeters keyed by (group, name)."""
+    """Nested dict of AverageMeters keyed by (group, name).
+
+    Device scalars (jax arrays) passed to ``update`` are buffered and
+    converted to floats lazily at the next read (``summary_str``/
+    ``avg``): the jitted train step runs asynchronously, so forcing a
+    host readback of every loss term each batch would serialize the
+    step pipeline. By drain time the values are long since computed —
+    the conversion costs readback latency once per print/log event
+    instead of once per step.
+    """
 
     def __init__(self):
         self.meters = defaultdict(lambda: defaultdict(AverageMeter))
+        self._pending = []
 
     def update(self, summary, n=1):
-        for group, metrics in summary.items():
-            for name, value in metrics.items():
-                self.meters[group][name].update(value, n)
+        self._pending.append((summary, n))
+
+    def _drain(self):
+        for summary, n in self._pending:
+            for group, metrics in summary.items():
+                for name, value in metrics.items():
+                    self.meters[group][name].update(value, n)
+        self._pending.clear()
 
     def summary_str(self):
+        self._drain()
         parts = []
         for group in self.meters:
             inner = ' '.join('{} {:.3f}'.format(k, m.avg)
@@ -51,6 +67,7 @@ class MetricsSummary:
         return ' | '.join(parts)
 
     def avg(self, group, name):
+        self._drain()
         return self.meters[group][name].avg
 
 

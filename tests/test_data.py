@@ -42,9 +42,14 @@ def test_loader_batches(synth):
     b = batches[0]
     assert b['image'].shape == (8, 64, 32, 3)
     assert b['image'].dtype == np.uint8
-    assert b['mask'].shape == (8, 64, 32, 36)
+    # confidence fields ship at 1/8 of the image grid (device upsamples)
+    assert b['mask'].shape == (8, 8, 4, 36)
     assert b['pid'].shape == (8,)
     assert b['valid'].all()
+
+    full = BatchLoader(synth, 'train', 8, 64, 32, sampler=sampler,
+                       num_workers=2, drop_last=True, mask_grid_scale=None)
+    assert next(iter(full))['mask'].shape == (8, 64, 32, 36)
 
 
 def test_loader_pads_final_batch(synth):
@@ -96,7 +101,8 @@ def test_group_first_mask_order_is_exact(synth):
     the raw 36-channel masks, then the full chain)."""
     import jax
     from bpbreid_tpu.data.augment import (_coarse_dropout, _hflip,
-                                          _normalize, _pad_crop, mask_chain,
+                                          _masks_to_image_grid, _normalize,
+                                          _pad_crop, mask_chain,
                                           train_augment)
     from bpbreid_tpu.ops.masks import get_grouping
     loader = BatchLoader(synth, 'train', 4, 64, 32, num_workers=1)
@@ -116,7 +122,8 @@ def test_group_first_mask_order_is_exact(synth):
     # reference order with the same per-transform key splits
     r = jax.random.split(key, 4)
     imgs = imgs_u8.astype(jnp.float32) / 255.0
-    imgs, masks = _hflip(imgs, raw, r[0])
+    full = _masks_to_image_grid(raw, imgs.shape[1], imgs.shape[2])
+    imgs, masks = _hflip(imgs, full, r[0])
     imgs, masks = _pad_crop(imgs, masks, r[1])
     imgs = _normalize(imgs)
     imgs, masks = _coarse_dropout(imgs, masks, r[3])

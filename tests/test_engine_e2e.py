@@ -1,6 +1,7 @@
 """End-to-end smoke: synthetic dataset -> BPBreID (resnet18) -> GiLt+BPA
 training for a few steps (loss decreases) -> part-based evaluation with
 visibility-weighted distance + CMC/mAP + checkpoint save/resume."""
+import itertools
 import os
 
 import numpy as np
@@ -61,14 +62,16 @@ def setup():
 def test_train_loss_decreases(setup):
     cfg, dm, engine = setup
     losses = []
-    for i, batch in enumerate(dm.train_loader):
+    for i, batch in enumerate(
+            itertools.islice(itertools.cycle(dm.train_loader), 10)):
         loss, summary = engine.forward_backward(batch)
-        losses.append(loss)
-        if i >= 5:
+        losses.append(float(loss))
+        if i >= 9:
             break
     assert np.isfinite(losses).all()
-    # identity CE on random data should drop measurably within a few steps
-    assert losses[-1] < losses[0]
+    # identity CE on random data should drop measurably within a few
+    # steps; average windows so single noisy steps can't flip the test
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
 def test_eval_runs(setup):
@@ -81,6 +84,39 @@ def test_eval_runs(setup):
     assert cmc.shape[0] >= 5
     assert 0.0 <= mAP <= 1.0
     assert np.all(np.diff(cmc) >= -1e-6)
+
+
+def test_eval_int8_matches_float(setup):
+    """cfg.test.int8 routes feature extraction through the calibrated
+    int8 backbone (ops/quant.py); extracted embeddings must stay close
+    to the float path's (the CLI-facing version of the bench's int8
+    accuracy gate — CMC itself is meaningless on an untrained model)."""
+    cfg, dm, engine = setup
+    loader = dm.test_loader['synthetic']['query']
+    f_float, vis_f, _, _, _ = engine._feature_extraction(loader)
+    cfg.test.int8 = True
+    try:
+        f_int8, vis_q, _, _, _ = engine._feature_extraction(loader)
+        assert engine._int8_eval_step is not None   # path actually taken
+        # full eval pipeline also runs end-to-end at int8
+        cmc_q, mAP_q, _, _ = engine._evaluate(
+            0, dataset_name='synthetic',
+            query_loader=dm.test_loader['synthetic']['query'],
+            gallery_loader=dm.test_loader['synthetic']['gallery'],
+            normalize_feature=True, ranks=(1, 5))
+    finally:
+        cfg.test.int8 = False
+        engine._int8_eval_step = None
+        engine._quant_coll = None
+    a = f_float.reshape(len(f_float), -1).astype(np.float64)
+    b = f_int8.reshape(len(f_int8), -1).astype(np.float64)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.98, cos.min()
+    # binary visibility = argmax over near-uniform attention on an
+    # untrained model; allow a few near-tie flips under int8 noise
+    assert np.mean(vis_f != vis_q) < 0.05, np.mean(vis_f != vis_q)
+    assert 0.0 <= mAP_q <= 1.0 and np.all(np.diff(cmc_q) >= -1e-6)
 
 
 def test_checkpoint_roundtrip(setup, tmp_path):
