@@ -288,6 +288,7 @@ def test_multires_pooling_train_mode_matches():
                                    err_msg=jax.tree_util.keystr(pa))
 
 
+@pytest.mark.slow
 def test_multires_gate_with_target_segmentation():
     """With test_use_target_segmentation the eval path must fall back to
     the materialized pooling (masks are refined after the softmax), and

@@ -112,6 +112,7 @@ def test_cli_pcb_stripes_smoke(tmp_path):
           'test.visrank', 'False'])
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_inprocess():
     """In-process path: conftest already forced an 8-device CPU platform."""
     sys.path.insert(0, '/root/repo')

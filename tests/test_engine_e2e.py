@@ -86,6 +86,7 @@ def test_eval_runs(setup):
     assert np.all(np.diff(cmc) >= -1e-6)
 
 
+@pytest.mark.slow
 def test_eval_int8_matches_float(setup):
     """cfg.test.int8 routes feature extraction through the calibrated
     int8 backbone (ops/quant.py); extracted embeddings must stay close

@@ -61,6 +61,7 @@ def test_osnet_parity(arch, ref_file):
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_osnet_featuremap_mode():
     import jax
     import jax.numpy as jnp
