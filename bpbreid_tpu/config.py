@@ -437,6 +437,30 @@ def imagedata_kwargs(cfg):
     }
 
 
+def videodata_kwargs(cfg):
+    """(reference: scripts/default_config.py:284-305)"""
+    return {
+        'config': cfg,
+        'root': cfg.data.root,
+        'sources': cfg.data.sources,
+        'targets': cfg.data.targets,
+        'height': cfg.data.height,
+        'width': cfg.data.width,
+        'transforms': cfg.data.transforms,
+        'norm_mean': cfg.data.norm_mean,
+        'norm_std': cfg.data.norm_std,
+        'split_id': cfg.data.split_id,
+        'combineall': cfg.data.combineall,
+        'batch_size_train': cfg.train.batch_size,
+        'batch_size_test': cfg.test.batch_size,
+        'workers': cfg.data.workers,
+        'num_instances': cfg.sampler.num_instances,
+        'train_sampler': cfg.sampler.train_sampler,
+        'seq_len': cfg.video.seq_len,
+        'sample_method': cfg.video.sample_method,
+    }
+
+
 def optimizer_kwargs(cfg):
     return {
         'optim': cfg.train.optim,

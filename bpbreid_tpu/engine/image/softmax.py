@@ -193,6 +193,7 @@ class ImageSoftmaxEngine(Engine):
         cmc, mAP = result['cmc'], result['mAP']
         print('** Results: mAP {:.2%}'.format(mAP))
         for r in ranks:
-            print('Rank-{:<3}: {:.2%}'.format(r, cmc[r - 1]))
+            if r <= len(cmc):      # tiny galleries: CMC shorter than max_rank
+                print('Rank-{:<3}: {:.2%}'.format(r, cmc[r - 1]))
         *_, ssmd = plot_pairs_distance_distribution(distmat, q_pids, g_pids)
         return cmc, mAP, ssmd, 0.0

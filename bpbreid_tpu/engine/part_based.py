@@ -466,7 +466,8 @@ class ImagePartBasedEngine(Engine):
         print('mAP: {:.2%}'.format(mAP))
         print('CMC curve')
         for r in ranks:
-            print('Rank-{:<3}: {:.2%}'.format(r, cmc[r - 1]))
+            if r <= len(cmc):      # tiny galleries: CMC shorter than max_rank
+                print('Rank-{:<3}: {:.2%}'.format(r, cmc[r - 1]))
 
         if self.detailed_ranking:
             self.display_individual_parts_ranking_performances(

@@ -17,6 +17,16 @@ per the per-op profile) is already strong for these shapes; revisit
 only with an int8 path (half the bytes, 2x MXU peak) where the fused
 chain would amortize the quantize/dequantize steps.
 
+Round-2 follow-up (int8 path landed in ops/quant.py via XLA): the
+int8 1x1-bottleneck epilogue pattern was also prototyped in Pallas —
+s8[786k,64] @ s8[64,256] -> int32 -> scale + bias + dequant(residual)
+-> relu -> requant s8, the exact layer1/conv3 chain. Swept
+TM in {1024..8192} x dimension_semantics: best Pallas 2.21 ms vs XLA
+1.84 ms (bit-exact). XLA's own fusion of this chain wins again; the
+framework's int8 speedup (5.4k -> 6.3k img/s) therefore ships on the
+XLA path, and Pallas kernels here remain benchmark artifacts, kept as
+documentation of the measured design space.
+
 HRNet's high-resolution branches run long chains of 3x3 convs on small
 maps (96x32x32 ... 12x4x256). Per conv the whole-batch tensor is only
 12-50MB, so composed in XLA every conv round-trips HBM and the chain is

@@ -33,10 +33,11 @@ def set_random_seed(seed):
 
 
 def build_datamanager(cfg):
-    if cfg.data.type != 'image':
-        raise NotImplementedError(
-            'video data pipeline lands in a later milestone; the reference '
-            'marks video re-id unmaintained (README.md:118)')
+    """(reference: main.py:18-22)"""
+    if cfg.data.type == 'video':
+        from bpbreid_tpu.config import videodata_kwargs
+        from bpbreid_tpu.data.video import VideoDataManager
+        return VideoDataManager(**videodata_kwargs(cfg))
     return ImageDataManager(**imagedata_kwargs(cfg))
 
 
@@ -68,8 +69,11 @@ def build_config(args=None, config_file=None, config=None, makedirs=True):
         if getattr(args, 'opts', None):
             cfg.merge_from_list(args.opts)
 
-    ds_cls = get_image_dataset(cfg.data.sources[0])
-    masks_config = ds_cls.get_masks_config(cfg.model.bpbreid.masks.dir)
+    if cfg.data.type == 'image':
+        ds_cls = get_image_dataset(cfg.data.sources[0])
+        masks_config = ds_cls.get_masks_config(cfg.model.bpbreid.masks.dir)
+    else:
+        masks_config = None        # video datasets carry no part masks
     compute_parts_num_and_names(cfg, masks_config)
 
     if cfg.model.load_weights and osp.isfile(cfg.model.load_weights) \
@@ -114,6 +118,25 @@ def build_engine(cfg, datamanager, model, optimizer, scheduler, writer,
     """(reference: main.py:27-108)"""
     from bpbreid_tpu.engine import (
         ImagePartBasedEngine, ImageSoftmaxEngine, ImageTripletEngine)
+    if cfg.data.type == 'video':
+        # (reference: main.py:76-108 — video supports softmax/triplet)
+        from bpbreid_tpu.engine.video import (VideoSoftmaxEngine,
+                                              VideoTripletEngine)
+        if cfg.loss.name == 'softmax':
+            return VideoSoftmaxEngine(
+                datamanager, model, optimizer=optimizer, scheduler=scheduler,
+                label_smooth=cfg.loss.softmax.label_smooth, config=cfg,
+                pooling_method=cfg.video.pooling_method,
+                save_model_flag=cfg.model.save_model_flag, writer=writer,
+                engine_state=engine_state)
+        return VideoTripletEngine(
+            datamanager, model, optimizer=optimizer,
+            margin=cfg.loss.triplet.margin, weight_t=cfg.loss.triplet.weight_t,
+            weight_x=cfg.loss.triplet.weight_x, scheduler=scheduler,
+            label_smooth=cfg.loss.softmax.label_smooth, config=cfg,
+            pooling_method=cfg.video.pooling_method,
+            save_model_flag=cfg.model.save_model_flag, writer=writer,
+            engine_state=engine_state)
     if cfg.loss.name == 'softmax':
         return ImageSoftmaxEngine(
             datamanager, model, optimizer=optimizer, scheduler=scheduler,

@@ -38,6 +38,24 @@ def test_cli_main_smoke(tmp_path):
           'train.max_epoch', '1', 'test.batch_size', '8'])
 
 
+def test_cli_video_smoke(tmp_path):
+    """CLI drives the video pipeline end-to-end (reference main.py:18-22,
+    76-108): data.type='video' -> VideoDataManager + VideoSoftmax/
+    TripletEngine, train 1 epoch on the synthetic video dataset + eval."""
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.scripts.main import main
+    clear_dataset_cache()
+    main(['--save_dir', str(tmp_path), '--job-id', '11',
+          'data.type', 'video', 'data.sources', "['synthetic_video']",
+          'data.targets', "['synthetic_video']",
+          'data.height', '32', 'data.width', '16',
+          'video.seq_len', '4', 'video.pooling_method', 'avg',
+          'loss.name', 'softmax', 'model.name', 'resnet18',
+          'train.batch_size', '4', 'sampler.num_instances', '2',
+          'train.max_epoch', '1', 'test.batch_size', '4',
+          'train.eval_freq', '-1'])
+
+
 def _build_cli_engine(tmp_path, job_id, n_devices):
     from bpbreid_tpu.data.datasets import clear_dataset_cache
     from bpbreid_tpu.scripts.main import build_config, build_model_engine
