@@ -68,11 +68,59 @@ class FeatureExtractor:
                                       norm_std=self.norm_std)
             return self.model.apply(variables, imgs, train=False)
 
+        self._forward_fn = forward
+        self._forward_nomask_fn = forward_nomask
         self._forward = jax.jit(forward)
         self._forward_nomask = jax.jit(forward_nomask)
+        # calibrated int8 backbone (ops/quant.py), honoring cfg.test.int8:
+        # calibrate activation ranges on the first batch, then trace
+        # SEPARATE jitted callables inside int8_inference() (quant mode
+        # is read at trace time, so the float traces must not be reused)
+        self._use_int8 = bool(getattr(cfg.test, 'int8', False))
+        self._int8_ready = False
         if verbose:
-            print('FeatureExtractor ready: {} @ {}x{}'.format(
-                cfg.model.name, self.height, self.width))
+            print('FeatureExtractor ready: {} @ {}x{}{}'.format(
+                cfg.model.name, self.height, self.width,
+                ' [int8]' if self._use_int8 else ''))
+
+    def _ensure_int8(self, imgs, masks):
+        if self._int8_ready:
+            return
+        import jax
+        import jax.numpy as jnp
+        from bpbreid_tpu.data.augment import eval_preprocess
+        from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
+        mk = self.mask_kwargs
+
+        def calibrate(variables, imgs_u8, raw_masks=None):
+            im, m = eval_preprocess(imgs_u8, raw_masks,
+                                    norm_mean=self.norm_mean,
+                                    norm_std=self.norm_std, mask_kwargs=mk)
+            args = (im, m) if raw_masks is not None else (im,)
+            _, qvars = self.model.apply(variables, *args, train=False,
+                                        mutable=['quant'])
+            return qvars
+
+        with int8_calibration():
+            if masks is not None:
+                qvars = jax.jit(calibrate)(self.variables, jnp.asarray(imgs),
+                                           jnp.asarray(masks))
+            else:
+                qvars = jax.jit(calibrate)(self.variables, jnp.asarray(imgs))
+        self.variables = {**self.variables, **qvars}
+
+        q_fwd = jax.jit(self._forward_fn)
+        q_fwd_nm = jax.jit(self._forward_nomask_fn)
+
+        def in_ctx(f):
+            def wrapped(*args):
+                with int8_inference():   # every (re)trace stays int8
+                    return f(*args)
+            return wrapped
+
+        self._forward = in_ctx(q_fwd)
+        self._forward_nomask = in_ctx(q_fwd_nm)
+        self._int8_ready = True
 
     def _load_weights(self, path):
         from bpbreid_tpu.utils.torch_weights import (
@@ -105,6 +153,8 @@ class FeatureExtractor:
             imgs = np.asarray(inputs)
             if imgs.ndim == 3:
                 imgs = imgs[None]
+        if self._use_int8:
+            self._ensure_int8(imgs, external_parts_masks)
         if external_parts_masks is not None:
             return self._forward(self.variables, jnp.asarray(imgs),
                                  jnp.asarray(external_parts_masks))

@@ -181,6 +181,18 @@ def test_feature_extractor(tmp_path):
     assert emb[PARTS].shape == (3, 5, 32)
     assert vis[PARTS].shape == (3, 5)
 
+    # cfg.test.int8: calibrated int8 backbone keeps embeddings close
+    cfg.test.int8 = True
+    fe8 = FeatureExtractor(cfg, num_classes=4, verbose=False)
+    fe8.variables = dict(fe.variables)     # same weights
+    emb8, vis8, *_ = fe8(imgs)
+    assert fe8._int8_ready
+    a = np.asarray(emb[PARTS], np.float64).reshape(3, -1)
+    b = np.asarray(emb8[PARTS], np.float64).reshape(3, -1)
+    cos = (a * b).sum(-1) / (np.linalg.norm(a, axis=-1)
+                             * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.98, cos.min()
+
 
 @pytest.mark.slow
 def test_extract_reid_features(tmp_path):
