@@ -17,6 +17,7 @@
 #include <cstring>
 #include <numeric>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -148,6 +149,8 @@ int eval_cuhk03(const float* distmat, const int64_t* q_pids,
       kept_gid.clear();
       group_len.clear();
       group_pid.clear();
+      std::unordered_map<int64_t, int64_t> gid_of_pid;
+      gid_of_pid.reserve(64);
       int64_t kept = 0, num_rel = 0;
       double ap = 0.0;
       int64_t true_group = -1;
@@ -159,15 +162,10 @@ int eval_cuhk03(const float* distmat, const int64_t* q_pids,
           ++num_rel;
           ap += static_cast<double>(num_rel) / static_cast<double>(kept + 1);
         }
-        // group lookup: linear scan — queries see few distinct pids
-        // relative to num_g, and the same pid clusters in sorted order
-        int64_t gi = -1;
-        for (int64_t k = static_cast<int64_t>(group_pid.size()) - 1; k >= 0;
-             --k) {
-          if (group_pid[k] == g_pids[g]) { gi = k; break; }
-        }
-        if (gi < 0) {
-          gi = static_cast<int64_t>(group_pid.size());
+        auto ins = gid_of_pid.emplace(
+            g_pids[g], static_cast<int64_t>(group_pid.size()));
+        const int64_t gi = ins.first->second;
+        if (ins.second) {    // first kept entry of this pid
           group_pid.push_back(g_pids[g]);
           group_len.push_back(0);
           if (match) true_group = gi;

@@ -20,9 +20,14 @@ def pairs_distance_distribution(distmat, q_pids, g_pids):
 
 def compute_ssmd(pos_mean, pos_std, neg_mean, neg_std):
     """Strictly standardized mean difference between the positive and
-    negative pair-distance distributions (reference: distribution.py:47-55)."""
+    negative pair-distance distributions (reference: distribution.py:47-55).
+
+    Unsigned, like the reference. The denominator uses the textbook
+    sqrt(var_pos + var_neg) — the reference divides by the raw variance
+    sum (distribution.py:52), a unit inconsistency we deliberately fix;
+    values therefore differ from the reference by that sqrt."""
     denom = np.sqrt(pos_std ** 2 + neg_std ** 2)
-    return float((neg_mean - pos_mean) / denom) if denom > 0 else 0.0
+    return float(abs(neg_mean - pos_mean) / denom) if denom > 0 else 0.0
 
 
 def plot_pairs_distance_distribution(distmat, q_pids, g_pids, title=''):
