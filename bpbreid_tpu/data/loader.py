@@ -40,6 +40,12 @@ class BatchLoader:
         if mask_grid_scale and mask_grid_scale > 1:
             self.mask_grid = (max(1, height // mask_grid_scale),
                               max(1, width // mask_grid_scale))
+        import inspect
+        try:
+            params = inspect.signature(dataset.get).parameters
+            self._get_takes_mask_grid = 'mask_grid' in params
+        except (TypeError, ValueError):
+            self._get_takes_mask_grid = False
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
@@ -62,10 +68,10 @@ class BatchLoader:
         return list(range(self.dataset.len(self.mode)))
 
     def _fetch(self, idx):
-        try:
+        if self._get_takes_mask_grid:
             sample = self.dataset.get(self.mode, idx, self.height,
                                       self.width, mask_grid=self.mask_grid)
-        except TypeError:       # datasets with a legacy get() signature
+        else:                    # datasets with a legacy get() signature
             sample = self.dataset.get(self.mode, idx, self.height,
                                       self.width)
         if self.host_transform is not None:
