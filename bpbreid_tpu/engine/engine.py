@@ -64,6 +64,33 @@ class Engine:
         self.max_epoch = config.train.max_epoch
         self.lr_schedule = None
         self.logs = []
+        # graceful preemption (TPU pods get preempted; the reference has
+        # no handling — SURVEY §5): SIGTERM/SIGINT set this flag, the
+        # train loop stops at the next batch boundary, run() writes an
+        # emergency checkpoint and returns cleanly
+        self._preempted = False
+
+    def _request_preemption(self, signum=None, frame=None):
+        del frame
+        print('=> Preemption signal{} received: will checkpoint and stop '
+              'at the next batch boundary'.format(
+                  ' {}'.format(signum) if signum is not None else ''))
+        self._preempted = True
+
+    def _install_preemption_handlers(self):
+        """Returns a restore callback (no-op outside the main thread)."""
+        import signal
+        prev = {}
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev[sig] = signal.signal(sig, self._request_preemption)
+        except ValueError:          # not the main thread
+            return lambda: None
+
+        def restore():
+            for sig, handler in prev.items():
+                signal.signal(sig, handler)
+        return restore
 
     # ------------------------------------------------------------------
     # subclass contract
@@ -91,7 +118,7 @@ class Engine:
         pass
 
     def save_model(self, epoch, save_dir, cmc=None, mAP=None, ssmd=None,
-                   is_best=False):
+                   is_best=False, force=False):
         pass
 
     # ------------------------------------------------------------------
@@ -121,6 +148,7 @@ class Engine:
         print('=> Start training')
         if self.writer is not None:
             self.writer.total_run_timer.start()
+        restore_signals = self._install_preemption_handlers()
         self.engine_state.training_started()
         time_start = time.time()
         best_rank1 = -1.0
@@ -130,6 +158,14 @@ class Engine:
             self.set_freeze_base(bool(freeze))
             self.update_lr(epoch)
             self.train(epoch, print_freq=print_freq)
+            if self._preempted:
+                print('=> Preempted: writing emergency checkpoint '
+                      '(epoch {})'.format(epoch))
+                self.save_model(epoch, save_dir, force=True)
+                restore_signals()
+                self.engine_state.training_completed()
+                self.engine_state.run_completed()
+                return (np.zeros(max(ranks)), 0.0, 0.0, 0.0)
             if (eval_freq > 0 and (epoch + 1) % eval_freq == 0
                     and (epoch + 1) != self.max_epoch
                     and (epoch + 1) >= start_eval):
@@ -141,6 +177,7 @@ class Engine:
                 best_rank1 = max(best_rank1, cmc[0])
                 self.save_model(epoch, save_dir, cmc=cmc, mAP=mAP, ssmd=ssmd,
                                 is_best=is_best)
+        restore_signals()
         self.engine_state.training_completed()
 
         cmc, mAP, ssmd, pxl_acc = (np.zeros(max(ranks)), 0.0, 0.0, 0.0)
@@ -185,6 +222,8 @@ class Engine:
         end = time.perf_counter()
         for batch_idx, batch in enumerate(
                 device_prefetch(self.datamanager.train_loader)):
+            if self._preempted:
+                break
             data_time.meter.update(time.perf_counter() - end)
             self.engine_state.batch_started()
             loss, loss_summary = self.forward_backward(batch)

@@ -82,8 +82,9 @@ class ImageSoftmaxEngine(Engine):
             self.lr_schedule.set_in_opt_state(self.state.opt_state, self.epoch)
 
     def save_model(self, epoch, save_dir, cmc=None, mAP=None, ssmd=None,
-                   is_best=False):
-        if not self.save_model_flag or self.state is None:
+                   is_best=False, force=False):
+        # ``force`` (preemption checkpointing) overrides save_model_flag
+        if (not self.save_model_flag and not force) or self.state is None:
             return
         save_checkpoint(
             {'state': self.state, 'epoch': epoch,

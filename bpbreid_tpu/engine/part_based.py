@@ -131,8 +131,9 @@ class ImagePartBasedEngine(Engine):
         return self.state
 
     def save_model(self, epoch, save_dir, cmc=None, mAP=None, ssmd=None,
-                   is_best=False):
-        if not self.save_model_flag or self.state is None:
+                   is_best=False, force=False):
+        # ``force`` (preemption checkpointing) overrides save_model_flag
+        if (not self.save_model_flag and not force) or self.state is None:
             return
         save_checkpoint(
             {'state': self.state, 'epoch': epoch,

@@ -141,6 +141,35 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert meta['config']['model']['bpbreid']['masks']['parts_num'] == 5
 
 
+def test_preemption_checkpoints_and_stops(setup, tmp_path):
+    """SIGTERM/SIGINT (TPU pod preemption) must stop training at the
+    next batch boundary and write an emergency checkpoint even with
+    save_model_flag off — a capability the reference lacks (SURVEY §5:
+    'no preemption handling')."""
+    import signal
+    cfg, dm, engine = setup
+    assert not engine.save_model_flag          # force= must override it
+    engine._request_preemption(signal.SIGTERM, None)   # what the handler does
+    try:
+        cmc, mAP, ssmd, pxl = engine.run(
+            save_dir=str(tmp_path), max_epoch=50, eval_freq=-1,
+            print_freq=1000, ranks=(1,))
+    finally:
+        engine._preempted = False
+    ckpts = sorted(os.listdir(str(tmp_path)))
+    assert any(f.endswith('.ckpt') for f in ckpts), ckpts
+    # resumable: the emergency checkpoint restores cleanly
+    from bpbreid_tpu.utils.checkpoint import resume_from_checkpoint
+    path = os.path.join(str(tmp_path),
+                        [f for f in ckpts if f.endswith('.ckpt')][0])
+    state, start_epoch, meta = resume_from_checkpoint(path, engine.state)
+    assert start_epoch >= 1
+
+    # handler installation round-trip: run() must restore the previous
+    # signal disposition on exit
+    assert signal.getsignal(signal.SIGTERM) is not engine._request_preemption
+
+
 @pytest.mark.slow
 def test_run_loop_one_epoch(setup, tmp_path):
     cfg, dm, engine = setup
