@@ -195,6 +195,21 @@ def test_feature_extractor(tmp_path):
 
 
 @pytest.mark.slow
+def test_bench_train_smoke(capsys):
+    """bench_train (the committed train-side throughput benchmark) runs
+    end-to-end and prints its JSON line on a tiny geometry."""
+    import json
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.tools.bench_train import main
+    clear_dataset_cache()
+    main(['--batch-size', '4', '--height', '64', '--width', '32',
+          '--backbone', 'resnet18', '--iters', '2'])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec['unit'] == 'images/sec/chip' and rec['value'] > 0
+
+
+@pytest.mark.slow
 def test_extract_reid_features(tmp_path):
     import cv2
     from bpbreid_tpu.config import get_default_config
