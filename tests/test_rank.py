@@ -7,11 +7,10 @@ import pytest
 
 from bpbreid_tpu.metrics.rank import (
     eval_cuhk03,
-    eval_cuhk03_loop,
     eval_market1501,
-    eval_market1501_loop,
     evaluate_rank,
 )
+from rank_oracles import eval_cuhk03_loop, eval_market1501_loop
 
 
 def _random_case(rng, num_q=30, num_g=200, num_pid=20, num_cam=5):
