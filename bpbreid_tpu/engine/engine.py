@@ -14,7 +14,7 @@ import time
 
 import numpy as np
 
-from bpbreid_tpu.utils.avgmeter import AverageMeter, MetricsSummary, TimeMeter
+from bpbreid_tpu.utils.avgmeter import MetricsSummary, TimeMeter
 from bpbreid_tpu.utils.engine_state import EngineState
 
 __all__ = ['Engine', 'device_prefetch']

@@ -15,7 +15,6 @@ Evaluation then computes the visibility-weighted part distance and
 CMC/mAP through bpbreid_tpu.metrics.
 """
 import os.path as osp
-from functools import partial
 from typing import Any
 
 import jax
