@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from bpbreid_tpu.metrics.distance import _bp_dist_block
-from bpbreid_tpu.ops.ranking import cmc_map
+from bpbreid_tpu.ops.ranking import cmc_map, cmc_map_counting
 from bpbreid_tpu.ops.tensortools import replace_values
 from bpbreid_tpu.parallel.mesh import DATA_AXIS
 
@@ -89,11 +89,17 @@ def sharded_bp_distance(mesh, qf, gf, qf_vis=None, gf_vis=None,
 
 
 def sharded_cmc_map(mesh, distmat, q_pids, g_pids, q_camids, g_camids,
-                    n_gallery=None, max_rank=50):
+                    n_gallery=None, max_rank=50, max_matches=128):
     """CMC/mAP with the distance matrix sharded over gallery columns.
 
     Padding columns (beyond ``n_gallery``) are pushed to +inf so they
     rank last and never match.
+
+    Uses the sort-free counting ranker (``ops.ranking.cmc_map_counting``,
+    ~40x faster than the full per-query argsort at distractor scale and
+    natural under GSPMD: the per-match counts are plain sums over the
+    sharded gallery axis); any query with more than ``max_matches`` true
+    matches triggers an exact full-sort fallback.
     """
     distmat = jnp.asarray(distmat)
     ng_pad = distmat.shape[1]
@@ -105,7 +111,10 @@ def sharded_cmc_map(mesh, distmat, q_pids, g_pids, q_camids, g_camids,
                                    -np.ones(pad, np.int64)])
         col = jnp.arange(ng_pad) >= n_gallery
         distmat = jnp.where(col[None, :], jnp.inf, distmat)
-    cmc, mAP, n_valid = cmc_map(distmat, jnp.asarray(q_pids),
-                                jnp.asarray(g_pids), jnp.asarray(q_camids),
-                                jnp.asarray(g_camids), max_rank=max_rank)
+    args = (distmat, jnp.asarray(q_pids), jnp.asarray(g_pids),
+            jnp.asarray(q_camids), jnp.asarray(g_camids))
+    cmc, mAP, n_valid, n_over = cmc_map_counting(
+        *args, max_rank=max_rank, max_matches=max_matches)
+    if int(n_over):
+        cmc, mAP, n_valid = cmc_map(*args, max_rank=max_rank)
     return np.asarray(cmc), float(mAP), int(n_valid)

@@ -43,6 +43,34 @@ def test_jit_kernel_matches_numpy():
     assert int(n_valid) > 0
 
 
+@pytest.mark.parametrize('seed', [0, 1, 2, 3])
+def test_counting_kernel_matches_numpy(seed):
+    """Sort-free counting ranker == the full-sort protocol whenever
+    max_matches bounds the per-query true-match count."""
+    from bpbreid_tpu.ops.ranking import cmc_map_counting
+    rng = np.random.default_rng(seed)
+    case = _random_case(rng, num_q=40, num_g=500, num_pid=25, num_cam=5)
+    ref = eval_market1501(*case, max_rank=20)
+    cmc, mAP, n_valid, n_over = cmc_map_counting(
+        *[np.asarray(c) for c in case], max_rank=20, max_matches=64,
+        block=128)
+    assert int(n_over) == 0
+    np.testing.assert_allclose(np.asarray(cmc), ref['cmc'], atol=1e-5)
+    assert float(mAP) == pytest.approx(ref['mAP'], abs=1e-6)
+    assert int(n_valid) > 0
+
+
+def test_counting_kernel_overflow_reported():
+    from bpbreid_tpu.ops.ranking import cmc_map_counting
+    rng = np.random.default_rng(9)
+    # 2 pids over 60 gallery entries -> ~30 matches/query > max_matches=8
+    case = _random_case(rng, num_q=6, num_g=60, num_pid=2, num_cam=4)
+    _, _, _, n_over = cmc_map_counting(
+        *[np.asarray(c) for c in case], max_rank=10, max_matches=8,
+        block=32)
+    assert int(n_over) > 0
+
+
 def test_perfect_ranking():
     # two queries, gallery contains exact matches first
     distmat = np.array([[0.0, 0.5, 0.9], [0.5, 0.0, 0.9]])
