@@ -96,6 +96,10 @@ class ImagePartBasedEngine(Engine):
         # int8_inference() (see ops/quant.py)
         self._int8_eval_step = None
         self._quant_coll = None
+        # above this many distance-matrix elements, _evaluate ranks on
+        # device with the sort-free counting kernel instead of pulling
+        # the full matrix to host (market1501_500k: [3368, 500k] ~ 6.7GB)
+        self.device_ranking_threshold = int(2e8)
 
     # ------------------------------------------------------------------
     # state init / checkpointing
@@ -424,18 +428,48 @@ class ImagePartBasedEngine(Engine):
             # gallery axis sharded over the mesh (parallel/retrieval.py) —
             # the framework's long-axis parallelism (SURVEY §5)
             from bpbreid_tpu.parallel.retrieval import sharded_bp_distance
-            distmat, body_parts_distmat, n_gal = sharded_bp_distance(
+            distmat_dev, bp_distmat_dev, n_gal = sharded_bp_distance(
                 mesh, qf, gf, q_vis_arr, g_vis_arr,
                 self.dist_combine_strat, metric=dist_metric)
-            distmat = np.asarray(distmat)[:, :n_gal]
-            body_parts_distmat = np.asarray(body_parts_distmat)[..., :n_gal]
+            distmat_dev = distmat_dev[:, :n_gal]
+            bp_distmat_dev = bp_distmat_dev[..., :n_gal]
         else:
-            distmat, body_parts_distmat = \
+            distmat_dev, bp_distmat_dev = \
                 compute_distance_matrix_using_bp_features(
                     qf, gf, q_vis_arr, g_vis_arr, self.dist_combine_strat,
                     self.batch_size_pairwise_dist_matrix, metric=dist_metric)
-            distmat = np.asarray(distmat)
-            body_parts_distmat = np.asarray(body_parts_distmat)
+
+        eval_metric = getattr(
+            self.datamanager.test_dataset[dataset_name]['query'],
+            'eval_metric', 'default') if hasattr(self.datamanager,
+                                                 'test_dataset') else 'default'
+        if use_metric_cuhk03:
+            eval_metric = 'cuhk03'
+
+        # distractor-scale galleries: rank on device (sort-free counting
+        # kernel) and give host-side consumers (SSMD, writer stats) a
+        # deterministic gallery-column subsample — the full [Nq, Ng]
+        # matrix at Ng=500k is ~6.7 GB and a host round-trip + numpy
+        # ranking would dominate evaluation
+        big_gallery = (distmat_dev.shape[0] * distmat_dev.shape[1]
+                       > self.device_ranking_threshold
+                       and eval_metric == 'default' and not rerank)
+        if big_gallery:
+            print('Large gallery ({} entries): on-device counting '
+                  'ranking; host statistics on a gallery subsample'
+                  .format(distmat_dev.shape[1]))
+            cmc, mAP = self._device_rank(distmat_dev, q_pids, g_pids,
+                                         q_camids, g_camids)
+            sub = np.unique(np.linspace(
+                0, distmat_dev.shape[1] - 1, 20_000).astype(np.int64))
+            distmat = np.asarray(distmat_dev[:, sub])
+            body_parts_distmat = np.asarray(bp_distmat_dev[..., sub])
+            g_pids_host, g_camids_host = g_pids[sub], g_camids[sub]
+        else:
+            distmat = np.asarray(distmat_dev)
+            body_parts_distmat = np.asarray(bp_distmat_dev)
+            g_pids_host, g_camids_host = g_pids, g_camids
+        del distmat_dev
         if self.writer is not None:
             self.writer.qg_pairwise_dist_statistics(
                 distmat, body_parts_distmat, q_vis, g_vis)
@@ -450,18 +484,13 @@ class ImagePartBasedEngine(Engine):
                 self.batch_size_pairwise_dist_matrix, metric=dist_metric)
             distmat = re_ranking(distmat, np.asarray(d_qq), np.asarray(d_gg))
 
-        eval_metric = getattr(
-            self.datamanager.test_dataset[dataset_name]['query'],
-            'eval_metric', 'default') if hasattr(self.datamanager,
-                                                 'test_dataset') else 'default'
-        if use_metric_cuhk03:
-            eval_metric = 'cuhk03'
-        print('Computing CMC and mAP ...')
-        eval_metrics = metrics.evaluate_rank(distmat, q_pids, g_pids,
-                                             q_camids, g_camids,
-                                             eval_metric=eval_metric)
-        mAP = eval_metrics['mAP']
-        cmc = eval_metrics['cmc']
+        if not big_gallery:
+            print('Computing CMC and mAP ...')
+            eval_metrics = metrics.evaluate_rank(distmat, q_pids, g_pids,
+                                                 q_camids, g_camids,
+                                                 eval_metric=eval_metric)
+            mAP = eval_metrics['mAP']
+            cmc = eval_metrics['cmc']
         print('** Results **')
         print('mAP: {:.2%}'.format(mAP))
         print('CMC curve')
@@ -471,13 +500,17 @@ class ImagePartBasedEngine(Engine):
 
         if self.detailed_ranking:
             self.display_individual_parts_ranking_performances(
-                body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,
-                q_pids, eval_metric)
+                body_parts_distmat, cmc, g_camids_host, g_pids_host, mAP,
+                q_camids, q_pids, eval_metric)
 
         pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
-            distmat, q_pids, g_pids, 'Query-gallery')
-        print('SSMD = {:.4f}'.format(ssmd))
+            distmat, q_pids, g_pids_host, 'Query-gallery')
+        print('SSMD = {:.4f}{}'.format(
+            ssmd, ' (gallery subsample)' if big_gallery else ''))
 
+        if visrank and big_gallery:
+            print('visrank skipped: gallery too large for ranking grids')
+            visrank = False
         if visrank and hasattr(self.datamanager, 'test_dataset') \
                 and dataset_name in self.datamanager.test_dataset:
             # top-k ranking grids per query with match highlighting
@@ -517,6 +550,23 @@ class ImagePartBasedEngine(Engine):
         if self.writer is not None:
             self.writer.report_eval(dataset_name, cmc, mAP, ssmd)
         return cmc, mAP, ssmd, avg_pxl_acc
+
+    def _device_rank(self, distmat_dev, q_pids, g_pids, q_camids, g_camids,
+                     max_rank=50):
+        """Market-protocol CMC/mAP fully on device (counting kernel with
+        exact full-sort fallback on match overflow)."""
+        from bpbreid_tpu.ops.ranking import cmc_map, cmc_map_counting
+        args = (distmat_dev, jnp.asarray(q_pids), jnp.asarray(g_pids),
+                jnp.asarray(q_camids), jnp.asarray(g_camids))
+        max_rank = min(max_rank, distmat_dev.shape[1])
+        cmc, mAP, n_valid, n_over = cmc_map_counting(*args,
+                                                     max_rank=max_rank)
+        if int(n_over):
+            cmc, mAP, n_valid = cmc_map(*args, max_rank=max_rank)
+        if int(n_valid) == 0:
+            raise RuntimeError(
+                'Error: all query identities do not appear in gallery')
+        return np.asarray(cmc), float(mAP)
 
     def display_individual_parts_ranking_performances(
             self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,

@@ -141,6 +141,29 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert meta['config']['model']['bpbreid']['masks']['parts_num'] == 5
 
 
+def test_eval_device_ranking_path_matches_host(setup):
+    """Above device_ranking_threshold, _evaluate ranks on device with
+    the sort-free counting kernel instead of pulling the distance
+    matrix to host — CMC/mAP must match the host protocol exactly
+    (forced here by dropping the threshold to 1)."""
+    cfg, dm, engine = setup
+    kwargs = dict(dataset_name='synthetic',
+                  query_loader=dm.test_loader['synthetic']['query'],
+                  gallery_loader=dm.test_loader['synthetic']['gallery'],
+                  normalize_feature=True, ranks=(1, 5))
+    cmc_h, mAP_h, ssmd_h, _ = engine._evaluate(0, **kwargs)
+    engine.device_ranking_threshold = 1
+    try:
+        cmc_d, mAP_d, ssmd_d, _ = engine._evaluate(0, **kwargs)
+    finally:
+        engine.device_ranking_threshold = int(2e8)
+    n = min(len(cmc_h), len(cmc_d))
+    np.testing.assert_allclose(cmc_d[:n], cmc_h[:n], atol=1e-5)
+    assert mAP_d == pytest.approx(mAP_h, abs=1e-5)
+    # tiny gallery: the "subsample" covers every column -> SSMD equal
+    assert ssmd_d == pytest.approx(ssmd_h, abs=1e-6)
+
+
 def test_preemption_checkpoints_and_stops(setup, tmp_path):
     """SIGTERM/SIGINT (TPU pod preemption) must stop training at the
     next batch boundary and write an emergency checkpoint even with
