@@ -60,6 +60,27 @@ def test_counting_kernel_matches_numpy(seed):
     assert int(n_valid) > 0
 
 
+@pytest.mark.parametrize('seed', [0, 5])
+def test_counting_kernel_ties_match_stable_sort(seed):
+    """With heavily tied distances (bf16-quantized distmats at scale),
+    the counting kernel's index tie-break must reproduce the stable-sort
+    on-device kernel exactly."""
+    from bpbreid_tpu.ops.ranking import cmc_map, cmc_map_counting
+    rng = np.random.default_rng(seed)
+    case = list(_random_case(rng, num_q=30, num_g=300, num_pid=15))
+    case[0] = np.round(case[0] * 8) / 8.0        # ~many exact ties
+    ref_cmc, ref_map, ref_valid = cmc_map(*[np.asarray(c) for c in case],
+                                          max_rank=15)
+    cmc, mAP, n_valid, n_over = cmc_map_counting(
+        *[np.asarray(c) for c in case], max_rank=15, max_matches=64,
+        block=64)
+    assert int(n_over) == 0
+    np.testing.assert_allclose(np.asarray(cmc), np.asarray(ref_cmc),
+                               atol=1e-6)
+    assert float(mAP) == pytest.approx(float(ref_map), abs=1e-6)
+    assert int(n_valid) == int(ref_valid)
+
+
 def test_counting_kernel_overflow_reported():
     from bpbreid_tpu.ops.ranking import cmc_map_counting
     rng = np.random.default_rng(9)
