@@ -84,6 +84,9 @@ def cmc_map_counting(distmat, q_pids, g_pids, q_camids, g_camids,
     """
     num_q, num_g = distmat.shape
     max_matches = min(max_matches, num_g)     # tiny galleries
+    # bound the [Q, block, max_matches] compare tile to ~2^27 elements
+    # so the scan body stays comfortably on-chip at any query count
+    block = max(256, min(block, (1 << 27) // max(1, num_q * max_matches)))
     distmat = distmat.astype(jnp.float32)
     same = g_pids[None, :] == q_pids[:, None]                   # [Q, G]
     junk = same & (g_camids[None, :] == q_camids[:, None])
