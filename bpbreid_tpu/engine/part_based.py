@@ -423,56 +423,64 @@ class ImagePartBasedEngine(Engine):
                 and self.config.model.bpbreid.testing_binary_visibility_score:
             q_vis_arr = q_vis_arr.astype(bool)
             g_vis_arr = g_vis_arr.astype(bool)
-        mesh = getattr(self, 'mesh', None)
-        if mesh is not None and mesh.devices.size > 1:
-            # gallery axis sharded over the mesh (parallel/retrieval.py) —
-            # the framework's long-axis parallelism (SURVEY §5)
-            from bpbreid_tpu.parallel.retrieval import sharded_bp_distance
-            distmat_dev, bp_distmat_dev, n_gal = sharded_bp_distance(
-                mesh, qf, gf, q_vis_arr, g_vis_arr,
-                self.dist_combine_strat, metric=dist_metric)
-            distmat_dev = distmat_dev[:, :n_gal]
-            bp_distmat_dev = bp_distmat_dev[..., :n_gal]
-        else:
-            distmat_dev, bp_distmat_dev = \
-                compute_distance_matrix_using_bp_features(
-                    qf, gf, q_vis_arr, g_vis_arr, self.dist_combine_strat,
-                    self.batch_size_pairwise_dist_matrix, metric=dist_metric)
-
         eval_metric = getattr(
             self.datamanager.test_dataset[dataset_name]['query'],
             'eval_metric', 'default') if hasattr(self.datamanager,
                                                  'test_dataset') else 'default'
         if use_metric_cuhk03:
             eval_metric = 'cuhk03'
+        mesh = getattr(self, 'mesh', None)
 
-        # distractor-scale galleries: rank on device (sort-free counting
-        # kernel) and give host-side consumers (SSMD, writer stats) a
-        # deterministic gallery-column subsample — the full [Nq, Ng]
-        # matrix at Ng=500k is ~6.7 GB and a host round-trip + numpy
-        # ranking would dominate evaluation
-        big_gallery = (distmat_dev.shape[0] * distmat_dev.shape[1]
+        # distractor-scale galleries: the whole device pipeline is
+        # query-chunked — at market1501_500k the per-part distance
+        # tensor alone is [K, 3368, 500k] ~ 40 GB, so neither the full
+        # distance matrices nor a host round-trip are feasible (the
+        # reference's part-based path has the same wall). Each chunk
+        # computes distances + counting-ranking stats on device;
+        # host-side consumers (SSMD, writer stats, per-part table) get
+        # the first chunk over a gallery-column subsample.
+        big_gallery = (len(q_pids) * len(g_pids)
                        > self.device_ranking_threshold
                        and eval_metric == 'default' and not rerank)
         if big_gallery:
-            print('Large gallery ({} entries): on-device counting '
-                  'ranking; host statistics on a gallery subsample'
-                  .format(distmat_dev.shape[1]))
-            cmc, mAP = self._device_rank(distmat_dev, q_pids, g_pids,
-                                         q_camids, g_camids)
-            sub = np.unique(np.linspace(
-                0, distmat_dev.shape[1] - 1, 20_000).astype(np.int64))
-            distmat = np.asarray(distmat_dev[:, sub])
-            body_parts_distmat = np.asarray(bp_distmat_dev[..., sub])
-            g_pids_host, g_camids_host = g_pids[sub], g_camids[sub]
+            print('Large evaluation ({} queries x {} gallery): '
+                  'query-chunked on-device distance + counting ranking; '
+                  'host statistics on a subsample'
+                  .format(len(q_pids), len(g_pids)))
+            (cmc, mAP, distmat, body_parts_distmat, n_q_host, g_pids_host,
+             g_camids_host) = self._chunked_device_eval(
+                qf, gf, q_vis_arr, g_vis_arr, q_pids, g_pids, q_camids,
+                g_camids, dist_metric, mesh)
+            # host-side consumers see the first query chunk only
+            q_pids_host = q_pids[:n_q_host]
+            q_camids_host = q_camids[:n_q_host]
+            q_vis_host = q_vis[:n_q_host]
         else:
+            if mesh is not None and mesh.devices.size > 1:
+                # gallery axis sharded over the mesh
+                # (parallel/retrieval.py) — the framework's long-axis
+                # parallelism (SURVEY §5)
+                from bpbreid_tpu.parallel.retrieval import sharded_bp_distance
+                distmat_dev, bp_distmat_dev, n_gal = sharded_bp_distance(
+                    mesh, qf, gf, q_vis_arr, g_vis_arr,
+                    self.dist_combine_strat, metric=dist_metric)
+                distmat_dev = distmat_dev[:, :n_gal]
+                bp_distmat_dev = bp_distmat_dev[..., :n_gal]
+            else:
+                distmat_dev, bp_distmat_dev = \
+                    compute_distance_matrix_using_bp_features(
+                        qf, gf, q_vis_arr, g_vis_arr,
+                        self.dist_combine_strat,
+                        self.batch_size_pairwise_dist_matrix,
+                        metric=dist_metric)
             distmat = np.asarray(distmat_dev)
             body_parts_distmat = np.asarray(bp_distmat_dev)
             g_pids_host, g_camids_host = g_pids, g_camids
-        del distmat_dev
+            q_pids_host, q_camids_host, q_vis_host = q_pids, q_camids, q_vis
+            del distmat_dev
         if self.writer is not None:
             self.writer.qg_pairwise_dist_statistics(
-                distmat, body_parts_distmat, q_vis, g_vis)
+                distmat, body_parts_distmat, q_vis_host, g_vis)
 
         if rerank:
             from bpbreid_tpu.utils.rerank import re_ranking
@@ -501,10 +509,10 @@ class ImagePartBasedEngine(Engine):
         if self.detailed_ranking:
             self.display_individual_parts_ranking_performances(
                 body_parts_distmat, cmc, g_camids_host, g_pids_host, mAP,
-                q_camids, q_pids, eval_metric)
+                q_camids_host, q_pids_host, eval_metric)
 
         pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
-            distmat, q_pids, g_pids_host, 'Query-gallery')
+            distmat, q_pids_host, g_pids_host, 'Query-gallery')
         print('SSMD = {:.4f}{}'.format(
             ssmd, ' (gallery subsample)' if big_gallery else ''))
 
@@ -551,22 +559,82 @@ class ImagePartBasedEngine(Engine):
             self.writer.report_eval(dataset_name, cmc, mAP, ssmd)
         return cmc, mAP, ssmd, avg_pxl_acc
 
-    def _device_rank(self, distmat_dev, q_pids, g_pids, q_camids, g_camids,
-                     max_rank=50):
-        """Market-protocol CMC/mAP fully on device (counting kernel with
-        exact full-sort fallback on match overflow)."""
+    def _chunked_device_eval(self, qf, gf, q_vis_arr, g_vis_arr, q_pids,
+                             g_pids, q_camids, g_camids, dist_metric, mesh,
+                             max_rank=50, part_bytes_budget=2 << 30):
+        """Distractor-scale evaluation: stream query chunks through the
+        on-device distance + sort-free counting-ranking pipeline.
+
+        Per chunk the [K, c, Ng] part-distance tensor is bounded by
+        ``part_bytes_budget``; chunk CMC/mAP partials combine exactly
+        (weighted by valid-query counts; padded queries get pid -1,
+        which never matches, so they drop out as invalid). Returns
+        ``(cmc, mAP, sub_distmat, sub_bp_distmat, sub_g_pids,
+        sub_g_camids)`` where the ``sub_*`` arrays are the FIRST chunk
+        over a deterministic gallery-column subsample for the host-side
+        statistics/visuals.
+        """
         from bpbreid_tpu.ops.ranking import cmc_map, cmc_map_counting
-        args = (distmat_dev, jnp.asarray(q_pids), jnp.asarray(g_pids),
-                jnp.asarray(q_camids), jnp.asarray(g_camids))
-        max_rank = min(max_rank, distmat_dev.shape[1])
-        cmc, mAP, n_valid, n_over = cmc_map_counting(*args,
-                                                     max_rank=max_rank)
-        if int(n_over):
-            cmc, mAP, n_valid = cmc_map(*args, max_rank=max_rank)
-        if int(n_valid) == 0:
+        nq, ngal = len(q_pids), len(g_pids)
+        k_streams = qf.shape[1]
+        c = int(part_bytes_budget // max(1, 4 * k_streams * ngal))
+        c = max(16, min(nq, c))
+        max_rank = min(max_rank, ngal)
+        g_pids_d = jnp.asarray(g_pids)
+        g_camids_d = jnp.asarray(g_camids)
+
+        cmc_sum = np.zeros(max_rank, np.float64)
+        map_sum, n_valid_total = 0.0, 0
+        sub = None
+        sub_dist = sub_bp = None
+        for start in range(0, nq, c):
+            qf_c = qf[start:start + c]
+            qv_c = q_vis_arr[start:start + c] \
+                if q_vis_arr is not None else None
+            qp_c = np.asarray(q_pids[start:start + c])
+            qc_c = np.asarray(q_camids[start:start + c])
+            if len(qp_c) < c:          # pad to the static chunk shape;
+                pad = c - len(qp_c)    # pid -1 never matches -> invalid
+                qf_c = np.concatenate([qf_c, np.zeros_like(qf[:pad])])
+                if qv_c is not None:
+                    qv_c = np.concatenate([qv_c, qv_c[:pad]])
+                qp_c = np.concatenate([qp_c, -np.ones(pad, qp_c.dtype)])
+                qc_c = np.concatenate([qc_c, np.zeros(pad, qc_c.dtype)])
+            if mesh is not None and mesh.devices.size > 1:
+                from bpbreid_tpu.parallel.retrieval import sharded_bp_distance
+                d_c, bp_c, n_gal = sharded_bp_distance(
+                    mesh, qf_c, gf, qv_c, g_vis_arr,
+                    self.dist_combine_strat, metric=dist_metric)
+                d_c, bp_c = d_c[:, :n_gal], bp_c[..., :n_gal]
+            else:
+                d_c, bp_c = compute_distance_matrix_using_bp_features(
+                    qf_c, gf, qv_c, g_vis_arr, self.dist_combine_strat,
+                    self.batch_size_pairwise_dist_matrix,
+                    metric=dist_metric)
+            args = (d_c, jnp.asarray(qp_c), g_pids_d,
+                    jnp.asarray(qc_c), g_camids_d)
+            cmc_c, map_c, nv_c, nover_c = cmc_map_counting(
+                *args, max_rank=max_rank)
+            if int(nover_c):           # exact full-sort fallback
+                cmc_c, map_c, nv_c = cmc_map(*args, max_rank=max_rank)
+            nv = int(nv_c)
+            cmc_sum += np.asarray(cmc_c, np.float64) * nv
+            map_sum += float(map_c) * nv
+            n_valid_total += nv
+            if sub is None:            # host stats from the first chunk
+                sub = np.unique(np.linspace(
+                    0, ngal - 1, min(20_000, ngal)).astype(np.int64))
+                n_real = min(c, nq - start)
+                sub_dist = np.asarray(d_c[:n_real, sub])
+                sub_bp = np.asarray(bp_c[:, :n_real, :][..., sub])
+            del d_c, bp_c
+        if n_valid_total == 0:
             raise RuntimeError(
                 'Error: all query identities do not appear in gallery')
-        return np.asarray(cmc), float(mAP)
+        cmc = (cmc_sum / n_valid_total).astype(np.float32)
+        mAP = map_sum / n_valid_total
+        return (cmc, mAP, sub_dist, sub_bp, sub_dist.shape[0],
+                g_pids[sub], g_camids[sub])
 
     def display_individual_parts_ranking_performances(
             self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,

@@ -163,6 +163,21 @@ def test_eval_device_ranking_path_matches_host(setup):
     # tiny gallery: the "subsample" covers every column -> SSMD equal
     assert ssmd_d == pytest.approx(ssmd_h, abs=1e-6)
 
+    # multi-chunk + final-chunk padding: force a tiny per-chunk budget
+    # and combine partials across chunks — must still match exactly
+    qf, q_vis, q_pids, q_camids, _ = engine._feature_extraction(
+        dm.test_loader['synthetic']['query'])
+    gf, g_vis, g_pids, g_camids, _ = engine._feature_extraction(
+        dm.test_loader['synthetic']['gallery'])
+    qf = engine.normalize(qf)
+    gf = engine.normalize(gf)
+    cmc_c, mAP_c, sub_d, sub_bp, n_q_host, *_ = engine._chunked_device_eval(
+        qf, gf, q_vis.astype(bool), g_vis.astype(bool), q_pids, g_pids,
+        q_camids, g_camids, 'euclidean', None, part_bytes_budget=1)
+    assert n_q_host == 16                 # forced minimum chunk < num_q
+    np.testing.assert_allclose(cmc_c[:n], cmc_h[:n], atol=1e-5)
+    assert mAP_c == pytest.approx(mAP_h, abs=1e-5)
+
 
 def test_preemption_checkpoints_and_stops(setup, tmp_path):
     """SIGTERM/SIGINT (TPU pod preemption) must stop training at the
