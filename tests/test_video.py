@@ -17,6 +17,40 @@ def test_tracklet_sampling_methods():
     assert ds_short.get('train', 0, 32, 16)['image'].shape == (8, 32, 16, 3)
 
 
+def test_video_engine_mesh_distributed():
+    """Video engines under the data mesh: the [B, S, H, W, 3] batch
+    flattens to [B*S, ...] before the sharded step — the frame axis must
+    stay divisible across devices."""
+    import jax
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.data.video import VideoDataManager
+    from bpbreid_tpu.engine.video import VideoSoftmaxEngine
+    from bpbreid_tpu import models
+    from bpbreid_tpu.optim import build_optimizer
+    from bpbreid_tpu.parallel import distribute_engine
+
+    cfg = get_default_config()
+    cfg.data.height, cfg.data.width = 32, 16
+    cfg.data.transforms = ['rf']
+    dm = VideoDataManager(sources=['synthetic_video'],
+                          targets=['synthetic_video'], height=32, width=16,
+                          transforms=['rf'], batch_size_train=8,
+                          batch_size_test=8, workers=1, num_instances=2,
+                          train_sampler='RandomIdentitySampler', seq_len=2,
+                          config=cfg)
+    model = models.build_model('osnet_x0_25', num_classes=dm.num_train_pids,
+                               loss='softmax', pretrained=False)
+    engine = VideoSoftmaxEngine(dm, model, build_optimizer(optim='adam',
+                                                           lr=1e-3),
+                                config=cfg, pooling_method='avg')
+    engine.init_state(height=32, width=16)
+    mesh = distribute_engine(engine)
+    assert mesh.devices.size == 8
+    batch = next(iter(dm.train_loader))
+    loss, _ = engine.forward_backward(batch)       # [8*2=16 frames] / 8 dev
+    assert np.isfinite(loss)
+
+
 @pytest.mark.slow
 def test_video_engine_train_and_eval(tmp_path):
     import jax
