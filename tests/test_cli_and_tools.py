@@ -38,6 +38,24 @@ def test_cli_main_smoke(tmp_path):
           'train.max_epoch', '1', 'test.batch_size', '8'])
 
 
+@pytest.mark.slow
+def test_cli_triplet_smoke(tmp_path):
+    """CLI drives the global-embedding triplet+CE engine
+    (reference main.py:40-54): loss.name=triplet -> ImageTripletEngine,
+    one epoch on synthetic + eval."""
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.scripts.main import main
+    clear_dataset_cache()
+    main(['--save_dir', str(tmp_path), '--job-id', '12',
+          'data.sources', "['synthetic']", 'data.targets', "['synthetic']",
+          'data.height', '64', 'data.width', '32',
+          'loss.name', 'triplet', 'loss.triplet.weight_x', '1.0',
+          'model.name', 'resnet18',
+          'train.batch_size', '8', 'sampler.num_instances', '4',
+          'train.max_epoch', '1', 'test.batch_size', '8',
+          'train.eval_freq', '-1'])
+
+
 def test_cli_video_smoke(tmp_path):
     """CLI drives the video pipeline end-to-end (reference main.py:18-22,
     76-108): data.type='video' -> VideoDataManager + VideoSoftmax/
