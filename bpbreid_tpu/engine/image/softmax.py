@@ -159,8 +159,9 @@ class ImageSoftmaxEngine(Engine):
         return loss, summary
 
     def _feature_extraction(self, loader):
+        from bpbreid_tpu.engine.engine import device_prefetch
         f_, pids_, camids_ = [], [], []
-        for batch in loader:
+        for batch in device_prefetch(loader):
             feats = self._eval_step(self.state.params, self.state.batch_stats,
                                     jnp.asarray(batch['image']))
             valid = batch['valid']
