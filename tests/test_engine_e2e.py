@@ -141,6 +141,19 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert meta['config']['model']['bpbreid']['masks']['parts_num'] == 5
 
 
+def test_eval_with_reranking(setup):
+    """engine._evaluate(rerank=True) applies k-reciprocal re-ranking
+    (qq/gg distances + vectorized rerank) end-to-end."""
+    cfg, dm, engine = setup
+    cmc, mAP, ssmd, _ = engine._evaluate(
+        0, dataset_name='synthetic',
+        query_loader=dm.test_loader['synthetic']['query'],
+        gallery_loader=dm.test_loader['synthetic']['gallery'],
+        normalize_feature=True, ranks=(1, 5), rerank=True)
+    assert 0.0 <= mAP <= 1.0
+    assert np.all(np.diff(cmc) >= -1e-6)
+
+
 def test_eval_device_ranking_path_matches_host(setup):
     """Above device_ranking_threshold, _evaluate ranks on device with
     the sort-free counting kernel instead of pulling the distance
