@@ -154,6 +154,22 @@ def test_eval_with_reranking(setup):
     assert np.all(np.diff(cmc) >= -1e-6)
 
 
+def test_eval_with_cuhk03_metric(setup):
+    """engine._evaluate(use_metric_cuhk03=True) routes ranking through
+    the single-gallery-shot protocol end-to-end."""
+    cfg, dm, engine = setup
+    cmc, mAP, ssmd, _ = engine._evaluate(
+        0, dataset_name='synthetic',
+        query_loader=dm.test_loader['synthetic']['query'],
+        gallery_loader=dm.test_loader['synthetic']['gallery'],
+        normalize_feature=True, ranks=(1, 5), use_metric_cuhk03=True)
+    assert 0.0 <= mAP <= 1.0
+    # note: cuhk03 CMC may legitimately dip past a query's sampled-set
+    # size (the reference's per-query truncation, rank.py:17-94), so no
+    # monotonicity assertion here
+    assert np.all((cmc >= 0.0) & (cmc <= 1.0))
+
+
 def test_eval_device_ranking_path_matches_host(setup):
     """Above device_ranking_threshold, _evaluate ranks on device with
     the sort-free counting kernel instead of pulling the distance
