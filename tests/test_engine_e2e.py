@@ -141,6 +141,7 @@ def test_checkpoint_roundtrip(setup, tmp_path):
     assert meta['config']['model']['bpbreid']['masks']['parts_num'] == 5
 
 
+@pytest.mark.slow
 def test_eval_with_reranking(setup):
     """engine._evaluate(rerank=True) applies k-reciprocal re-ranking
     (qq/gg distances + vectorized rerank) end-to-end."""
@@ -154,6 +155,7 @@ def test_eval_with_reranking(setup):
     assert np.all(np.diff(cmc) >= -1e-6)
 
 
+@pytest.mark.slow
 def test_eval_with_cuhk03_metric(setup):
     """engine._evaluate(use_metric_cuhk03=True) routes ranking through
     the single-gallery-shot protocol end-to-end."""
