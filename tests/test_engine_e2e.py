@@ -209,6 +209,31 @@ def test_eval_device_ranking_path_matches_host(setup):
     np.testing.assert_allclose(cmc_c[:n], cmc_h[:n], atol=1e-5)
     assert mAP_c == pytest.approx(mAP_h, abs=1e-5)
 
+    # PARTIAL final chunk with remainder < pad: 35 queries, chunk 16 ->
+    # final chunk holds 3 real queries, pad = 13 > 3. The old
+    # qv_c[:pad] padding under-pads here (13 needed, only 3 available)
+    # and crashed with a broadcast shape mismatch in the distance
+    # kernel (round-2 verdict repro). Must match an exact host eval of
+    # the same 35 queries.
+    from bpbreid_tpu import metrics as _metrics
+    from bpbreid_tpu.metrics.distance import (
+        compute_distance_matrix_using_bp_features)
+    nq35 = 35
+    assert nq35 % 16 != 0 and nq35 % 16 < 8
+    d35, _ = compute_distance_matrix_using_bp_features(
+        qf[:nq35], gf, q_vis[:nq35].astype(bool), g_vis.astype(bool),
+        engine.dist_combine_strat,
+        engine.batch_size_pairwise_dist_matrix, metric='euclidean')
+    ref35 = _metrics.evaluate_rank(
+        np.asarray(d35), q_pids[:nq35], g_pids, q_camids[:nq35], g_camids)
+    cmc_p, mAP_p, *_ = engine._chunked_device_eval(
+        qf[:nq35], gf, q_vis[:nq35].astype(bool), g_vis.astype(bool),
+        q_pids[:nq35], g_pids, q_camids[:nq35], g_camids,
+        'euclidean', None, part_bytes_budget=1)
+    m = min(len(cmc_p), len(ref35['cmc']))
+    np.testing.assert_allclose(cmc_p[:m], ref35['cmc'][:m], atol=1e-5)
+    assert mAP_p == pytest.approx(ref35['mAP'], abs=1e-5)
+
 
 def test_preemption_checkpoints_and_stops(setup, tmp_path):
     """SIGTERM/SIGINT (TPU pod preemption) must stop training at the
