@@ -295,7 +295,12 @@ class SyntheticDataset(ImageDataset):
             r = np.random.default_rng(split_seed)
             data = []
             for pid in range(num_pids):
-                base = r.integers(0, 200, size=3)
+                # identity signal must be consistent ACROSS splits (a
+                # per-split draw makes query->gallery matching impossible
+                # by construction and pins every eval at chance mAP):
+                # key the base color on (dataset seed, pid) only
+                base = np.random.default_rng(
+                    10_000 + seed * 100 + pid).integers(0, 200, size=3)
                 for camid in range(num_cams):
                     for i in range(imgs_per_pid_cam):
                         img = (base[None, None, :]
