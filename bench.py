@@ -71,7 +71,7 @@ def main():
     if use_int8:
         try:
             from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
-            with int8_calibration():
+            with int8_calibration(percentile=99.9):
                 # mode is read at trace time, so the jitted calibration
                 # graph is traced (and therefore quant-recording) here
                 _, qvars = jax.jit(
@@ -79,7 +79,10 @@ def main():
                                              mutable=['quant']))(variables,
                                                                  images)
             variables = {**variables, **qvars}
-            with int8_inference():
+            # same mixed-precision configuration the accuracy gate
+            # covers (TestCfg defaults: per-conv scales, float
+            # residuals — see config.py int8_shared_points)
+            with int8_inference(shared=False):
                 out = forward(variables, images)
         except Exception as e:     # never lose the bench to the int8 path
             print('int8 path failed ({}); falling back to bf16'.format(e),

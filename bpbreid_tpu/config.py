@@ -272,6 +272,20 @@ class TestCfg:
     # test vs the float path (test_e2e_reference_parity.py)
     int8: bool = False
     int8_calib_batches: int = 4
+    # activation-range clipping percentile (100 = abs-max). 99.9 trades
+    # rare-outlier saturation for resolution everywhere else — measured
+    # to recover most of the abs-max mAP cost (ops/quant.py)
+    int8_calib_percentile: float = 99.9
+    # mixed-precision controls (ops/quant.py int8_inference):
+    # module-path substrings kept in float (e.g. ['incre_modules'])
+    int8_skip_patterns: List[str] = _f([])
+    # share one int8 copy per block input across convs AND residual
+    # adds (faster, but quantization error then accumulates along the
+    # residual trunk — measured mAP cost on the flagship parity rig;
+    # False keeps residuals float and quantizes per conv)
+    int8_shared_points: bool = False
+    # 'per_channel' | 'per_tensor' activation scale granularity
+    int8_act_granularity: str = 'per_channel'
     normalize_feature: bool = True
     ranks: List[int] = _f([1, 5, 10, 20])
     evaluate: bool = False

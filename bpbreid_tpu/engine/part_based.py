@@ -350,8 +350,9 @@ class ImagePartBasedEngine(Engine):
 
         n_calib = max(1, int(getattr(self.config.test,
                                      'int8_calib_batches', 4)))
+        pct = float(getattr(self.config.test, 'int8_calib_percentile', 99.9))
         quant_coll = None
-        with int8_calibration():
+        with int8_calibration(percentile=pct):
             for i, batch in enumerate(loader):
                 if i >= n_calib:
                     break
@@ -375,12 +376,17 @@ class ImagePartBasedEngine(Engine):
             from bpbreid_tpu.ops.quant import int8_inference
             self._quant_coll = self._calibrate_int8(loader)
             step = jax.jit(self._eval_step_impl)
+            tcfg = self.config.test
+            skip = tuple(getattr(tcfg, 'int8_skip_patterns', ()) or ())
+            shared = bool(getattr(tcfg, 'int8_shared_points', False))
+            gran = str(getattr(tcfg, 'int8_act_granularity', 'per_channel'))
 
             def int8_step(*args):
                 # quant mode is read at trace time: every (re)trace of
                 # this callable — first call or a new batch shape —
                 # must happen inside int8_inference()
-                with int8_inference():
+                with int8_inference(skip_patterns=skip, shared=shared,
+                                    act_granularity=gran):
                     return step(*args)
 
             self._int8_eval_step = int8_step

@@ -16,8 +16,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from bpbreid_tpu.ops.quant import (QTensor, dequantize, quant_conv,
-                                   quant_mode, quantize_static)
+from bpbreid_tpu.ops.quant import (QTensor, act_scale_from_amax, calib_amax,
+                                   dequantize, quant_conv, quant_mode,
+                                   quant_shared_points, quant_skipped,
+                                   quantize_static)
 
 BN_MOMENTUM = 0.9   # == torch momentum 0.1 (flax momentum keeps the old value)
 BN_EPS = 1e-5
@@ -50,20 +52,25 @@ class PConv(nn.Module):
         mode = quant_mode()
         if mode == 'calibrate':
             amax = self.variable('quant', 'act_amax',
-                                 lambda: jnp.zeros((), jnp.float32))
-            amax.value = jnp.maximum(
-                amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                                 lambda: jnp.zeros((data.shape[-1],),
+                                                   jnp.float32))
+            amax.value = jnp.maximum(amax.value, calib_amax(x))
+        skipped = mode == 'int8' and quant_skipped(self.path)
+        if skipped and isinstance(x, QTensor):
+            x = dequantize(x, self.dtype)
         if isinstance(x, QTensor):
             # pre-quantized by the enclosing block/module (shared int8
             # copy across all consumers) — scale travels with the tensor
             y = quant_conv(x, kernel, tuple(self.strides), self.padding,
                            groups=self.feature_group_count,
                            out_dtype=self.dtype)
-        elif mode == 'int8':
+        elif mode == 'int8' and not skipped:
             if self.has_variable('quant', 'act_amax'):
-                scale = self.get_variable('quant', 'act_amax') / 127.0
-            else:     # uncalibrated: dynamic per-tensor fallback
-                scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+                scale = act_scale_from_amax(
+                    self.get_variable('quant', 'act_amax'))
+            else:     # uncalibrated: dynamic per-channel fallback
+                scale = jnp.max(jnp.abs(x.astype(jnp.float32)),
+                                axis=tuple(range(x.ndim - 1))) / 127.0
             y = quant_conv(x, kernel, tuple(self.strides), self.padding,
                            scale, groups=self.feature_group_count,
                            out_dtype=self.dtype)
@@ -93,12 +100,14 @@ def calibrated_quant(module, x, name='in_amax'):
     mode = quant_mode()
     if mode == 'calibrate':
         amax = module.variable('quant', name,
-                               lambda: jnp.zeros((), jnp.float32))
-        amax.value = jnp.maximum(
-            amax.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+                               lambda: jnp.zeros((x.shape[-1],),
+                                                 jnp.float32))
+        amax.value = jnp.maximum(amax.value, calib_amax(x))
         return x
-    if mode == 'int8' and module.has_variable('quant', name):
-        return quantize_static(x, module.get_variable('quant', name) / 127.0)
+    if (mode == 'int8' and module.has_variable('quant', name)
+            and quant_shared_points() and not quant_skipped(module.path)):
+        return quantize_static(
+            x, act_scale_from_amax(module.get_variable('quant', name)))
     return x
 
 

@@ -101,7 +101,13 @@ class FeatureExtractor:
                                         mutable=['quant'])
             return qvars
 
-        with int8_calibration():
+        tcfg = getattr(self.cfg, 'test', None) \
+            if getattr(self, 'cfg', None) is not None else None
+        pct = float(getattr(tcfg, 'int8_calib_percentile', 99.9))
+        skip = tuple(getattr(tcfg, 'int8_skip_patterns', ()) or ())
+        shared = bool(getattr(tcfg, 'int8_shared_points', False))
+        gran = str(getattr(tcfg, 'int8_act_granularity', 'per_channel'))
+        with int8_calibration(percentile=pct):
             if masks is not None:
                 qvars = jax.jit(calibrate)(self.variables, jnp.asarray(imgs),
                                            jnp.asarray(masks))
@@ -114,8 +120,9 @@ class FeatureExtractor:
 
         def in_ctx(f):
             def wrapped(*args):
-                with int8_inference():   # every (re)trace stays int8
-                    return f(*args)
+                with int8_inference(skip_patterns=skip, shared=shared,
+                                    act_granularity=gran):
+                    return f(*args)   # every (re)trace stays int8
             return wrapped
 
         self._forward = in_ctx(q_fwd)

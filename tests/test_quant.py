@@ -52,14 +52,16 @@ def test_calibrate_then_int8_pconv():
 
     with int8_calibration():
         y_c, qvars = m.apply(v, x, mutable=['quant'])
-    # calibration runs the float path and records |x|max
+    # calibration runs the float path and records per-channel |x|max
     np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_f))
-    amax = float(qvars['quant']['act_amax'])
-    assert amax == float(jnp.max(jnp.abs(x)))
+    amax = np.asarray(qvars['quant']['act_amax'])
+    np.testing.assert_allclose(
+        amax, np.asarray(jnp.max(jnp.abs(x), axis=(0, 1, 2))))
     # running max across batches
     with int8_calibration():
         _, qvars2 = m.apply({**v, **qvars}, 0.5 * x, mutable=['quant'])
-    assert float(qvars2['quant']['act_amax']) == amax
+    np.testing.assert_allclose(np.asarray(qvars2['quant']['act_amax']),
+                               amax)
 
     with int8_inference():
         assert quant_mode() == 'int8'
