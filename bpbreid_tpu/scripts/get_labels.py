@@ -21,7 +21,8 @@ import numpy as np
 
 __all__ = ['PoseEstimatorBackend', 'SegmentationBackend',
            'SyntheticPoseBackend', 'OpenPifPafBackend', 'MaskRCNNBackend',
-           'extract_confidence_fields', 'generate_labels']
+           'extract_confidence_fields', 'select_person_mask',
+           'order_boxes_by_center_distance', 'generate_labels']
 
 
 class PoseEstimatorBackend:
@@ -118,16 +119,84 @@ class OpenPifPafBackend(PoseEstimatorBackend):
         return extract_confidence_fields(pif, paf)
 
 
-class MaskRCNNBackend(SegmentationBackend):
-    """detectron2 person masks (reference: get_labels.py:404-484)."""
+def order_boxes_by_center_distance(image_size, boxes):
+    """Indices of ``boxes`` sorted by their center's euclidean distance
+    to the image center (reference: get_labels.py order_bbox, :420-436 —
+    integer-floor centers, stable sort on distance)."""
+    image_height, image_width = image_size
+    center_x, center_y = image_width // 2, image_height // 2
+    distances = []
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        bcx, bcy = (x1 + x2) // 2, (y1 + y2) // 2
+        distances.append((i, np.sqrt((bcx - center_x) ** 2
+                                     + (bcy - center_y) ** 2)))
+    return [i for i, _ in sorted(distances, key=lambda t: t[1])]
 
-    def __init__(self):
-        try:
-            import detectron2  # noqa: F401
-        except ImportError as e:
-            raise ImportError(
-                'detectron2 is not installed in this environment; omit '
-                '--filter or install detectron2') from e
+
+def select_person_mask(instances):
+    """Closest-to-center person mask from detectron2-style instances.
+
+    Pins the reference's filtering contract (get_labels.py:438-452):
+    keep ``pred_classes == 0`` (COCO person), order the survivors by
+    bbox-center distance to the image center, return the nearest one.
+    Raises when the detector returned no masks at all (the reference's
+    hard error) and falls back to an all-ones mask when masks exist but
+    none is a person (keep the fields rather than zeroing them).
+
+    Args:
+        instances: object with ``image_size`` (h, w) and
+            ``pred_boxes``/``pred_classes``/``pred_masks`` fields
+            (tensors or arrays; one [H, W] bool/float mask per
+            detection).
+    Returns:
+        [H, W] float32 person mask.
+    """
+    boxes = np.asarray([np.asarray(b) for b in instances.pred_boxes])
+    classes = np.asarray(instances.pred_classes)
+    masks = [np.asarray(m) for m in instances.pred_masks]
+    if len(masks) == 0:
+        raise RuntimeError(
+            'segmentation model did not return any masks')
+    keep = [i for i, c in enumerate(classes) if c == 0]
+    if not keep:
+        h, w = instances.image_size
+        return np.ones((h, w), np.float32)
+    order = order_boxes_by_center_distance(
+        instances.image_size, [boxes[i] for i in keep])
+    return masks[keep[order[0]]].astype(np.float32)
+
+
+class MaskRCNNBackend(SegmentationBackend):
+    """detectron2 person masks (reference: get_labels.py:404-484).
+
+    ``predictor`` can be injected (anything callable as
+    ``predictor(image) -> {'instances': ...}`` like
+    ``detectron2.engine.DefaultPredictor``) for testing without the
+    external dependency.
+    """
+
+    def __init__(self, predictor=None,
+                 config='COCO-InstanceSegmentation/'
+                        'mask_rcnn_R_50_FPN_3x.yaml'):
+        if predictor is None:
+            try:
+                from detectron2 import model_zoo
+                from detectron2.config import get_cfg
+                from detectron2.engine import DefaultPredictor
+            except ImportError as e:
+                raise ImportError(
+                    'detectron2 is not installed in this environment; '
+                    'omit --filter or install detectron2') from e
+            cfg = get_cfg()
+            cfg.merge_from_file(model_zoo.get_config_file(config))
+            cfg.MODEL.WEIGHTS = model_zoo.get_checkpoint_url(config)
+            predictor = DefaultPredictor(cfg)
+        self.predictor = predictor
+
+    def __call__(self, image):
+        # detectron2 predictors consume BGR (reference feeds cv2 frames)
+        result = self.predictor(image[..., ::-1])
+        return select_person_mask(result['instances'])
 
 
 def generate_labels(dataset_root, masks_dir='pifpaf', backend=None,

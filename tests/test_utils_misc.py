@@ -105,6 +105,102 @@ def test_pifpaf_confidence_field_layout():
     np.testing.assert_array_equal(got, out)
 
 
+class _FakeInstances:
+    """Duck-typed detectron2 Instances (image_size + pred_* fields)."""
+
+    def __init__(self, image_size, boxes, classes, masks):
+        self.image_size = image_size
+        self.pred_boxes = boxes
+        self.pred_classes = classes
+        self.pred_masks = masks
+
+
+def test_maskrcnn_person_selection():
+    """Wrapper math of the real Mask-RCNN backend, pinned with mocked
+    detectron2 objects (round-2 verdict item 6; reference
+    get_labels.py:420-452): person-class filtering + bbox-center
+    ordering, floor-div centers like the reference."""
+    from bpbreid_tpu.scripts.get_labels import (
+        MaskRCNNBackend, order_boxes_by_center_distance,
+        select_person_mask)
+
+    h, w = 40, 20                                # center (10, 20)
+    center_box = [8.0, 18.0, 12.0, 22.0]   # center (10, 20): d = 0
+    off_box = [0.0, 0.0, 4.0, 4.0]         # center (2, 2):   d ~ 19.7
+    far_box = [14.0, 30.0, 20.0, 40.0]     # center (17, 35): d ~ 16.6
+    assert order_boxes_by_center_distance(
+        (h, w), [off_box, center_box, far_box]) == [1, 2, 0]
+
+    m_center = np.zeros((h, w), bool)
+    m_center[18:22, 8:12] = True
+    m_off = np.zeros((h, w), bool)
+    m_off[0:4, 0:4] = True
+    m_dog = np.ones((h, w), bool)
+    # classes: 16=dog (ranked closest!), 0=person x2 — the dog must be
+    # filtered out before ordering, and the closer PERSON mask wins
+    inst = _FakeInstances((h, w),
+                          boxes=[np.asarray(far_box), np.asarray(off_box),
+                                 np.asarray(center_box)],
+                          classes=np.asarray([16, 0, 0]),
+                          masks=[m_dog, m_off, m_center])
+    got = select_person_mask(inst)
+    np.testing.assert_array_equal(got, m_center.astype(np.float32))
+
+    # no detections at all -> the reference's hard error
+    with pytest.raises(RuntimeError, match='any masks'):
+        select_person_mask(_FakeInstances((h, w), [], np.asarray([]), []))
+
+    # detections but no person -> keep fields (all-ones mask)
+    only_dog = _FakeInstances((h, w), [np.asarray(center_box)],
+                              np.asarray([16]), [m_dog])
+    np.testing.assert_array_equal(select_person_mask(only_dog),
+                                  np.ones((h, w), np.float32))
+
+    # backend end-to-end: BGR flip + dict access through a fake predictor
+    seen = {}
+
+    def fake_predictor(image_bgr):
+        seen['img'] = image_bgr
+        return {'instances': inst}
+
+    be = MaskRCNNBackend(predictor=fake_predictor)
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[..., 0] = 200                            # red channel marker
+    got = be(rgb)
+    assert seen['img'][0, 0, 2] == 200           # fed as BGR
+    np.testing.assert_array_equal(got, m_center.astype(np.float32))
+
+
+def test_maskrcnn_filtering_end_to_end(tmp_path):
+    """generate_labels with a segmentation backend: the person mask is
+    resized to the field grid and multiplied in (reference
+    get_labels.py:455-472 mask x field multiply)."""
+    import cv2
+    from bpbreid_tpu.scripts.get_labels import (SyntheticPoseBackend,
+                                                generate_labels)
+    d = tmp_path / 'ds'
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    cv2.imwrite(str(d / 'im.jpg'),
+                rng.integers(0, 255, (64, 32, 3), dtype=np.uint8))
+
+    class _HalfMask:
+        def __call__(self, image):
+            m = np.zeros(image.shape[:2], np.float32)
+            m[:image.shape[0] // 2] = 1.0        # keep the top half
+            return m
+
+    backend = SyntheticPoseBackend()
+    plain = generate_labels(str(d), masks_dir='plain', backend=backend)
+    filt = generate_labels(str(d), masks_dir='filtered', backend=backend,
+                           seg_backend=_HalfMask())
+    a, b = np.load(plain[0]), np.load(filt[0])   # [36, fh, fw]
+    fh = a.shape[1]
+    np.testing.assert_allclose(b[:, :fh // 2], a[:, :fh // 2], atol=1e-6)
+    assert np.abs(b[:, fh // 2 + 1:]).max() == 0.0
+    assert np.abs(a[:, fh // 2 + 1:]).max() > 0.0
+
+
 def test_compute_mean_std():
     from bpbreid_tpu.data.datasets import init_image_dataset, clear_dataset_cache
     from bpbreid_tpu.tools.compute_mean_std import compute_mean_std
