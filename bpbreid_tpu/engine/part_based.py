@@ -14,6 +14,7 @@ compiled XLA programs:
 Evaluation then computes the visibility-weighted part distance and
 CMC/mAP through bpbreid_tpu.metrics.
 """
+import contextlib
 import os.path as osp
 from typing import Any
 
@@ -29,6 +30,7 @@ from bpbreid_tpu.engine.engine import Engine
 from bpbreid_tpu.losses.bpa import BodyPartAttentionLoss
 from bpbreid_tpu.losses.gilt import GiLtLoss
 from bpbreid_tpu.metrics.distance import compute_distance_matrix_using_bp_features
+from bpbreid_tpu.ops.quant import QuantOpts
 from bpbreid_tpu.ops.resize import resize_bilinear_align_corners
 from bpbreid_tpu.utils.distribution import plot_pairs_distance_distribution
 from bpbreid_tpu.utils.checkpoint import save_checkpoint
@@ -89,11 +91,12 @@ class ImagePartBasedEngine(Engine):
         self._train_step = jax.jit(self._train_step_impl,
                                    static_argnames=('freeze_base',),
                                    donate_argnums=(0,))
-        self._eval_step = jax.jit(self._eval_step_impl)
-        # calibrated int8 eval path (cfg.test.int8): built lazily on the
-        # first eval batch — quant mode is read at trace time, so the
-        # int8 graph needs its own jitted callable traced inside
-        # int8_inference() (see ops/quant.py)
+        # quant_opts is static: it keys the jit cache on the int8 knobs
+        # (trace-time contextvars, invisible to the cache otherwise)
+        self._eval_step = jax.jit(self._eval_step_impl,
+                                  static_argnames=('quant_opts',))
+        # calibrated int8 eval path (cfg.test.int8): calibration runs
+        # lazily on the first eval batches (see _maybe_int8_eval_step)
         self._int8_eval_step = None
         self._quant_coll = None
         # above this many distance-matrix elements, _evaluate ranks on
@@ -219,7 +222,7 @@ class ImagePartBasedEngine(Engine):
         return new_state, next_rng, loss, loss_summary
 
     def _eval_step_impl(self, params, batch_stats, imgs_u8, raw_masks,
-                        quant=None):
+                        quant=None, quant_opts=None):
         imgs, masks = eval_preprocess(imgs_u8, raw_masks,
                                       norm_mean=self.norm_mean,
                                       norm_std=self.norm_std,
@@ -227,7 +230,16 @@ class ImagePartBasedEngine(Engine):
         variables = {'params': params, 'batch_stats': batch_stats}
         if quant is not None:
             variables['quant'] = quant
-        outputs = self.model.apply(variables, imgs, masks, train=False)
+            # quant_opts is a STATIC jit argument: the int8 knobs are
+            # read from contextvars at trace time and are otherwise
+            # invisible to the jit cache — without them in the key, a
+            # knob change after the first int8 trace silently reuses
+            # the stale graph (see ops/quant.py QuantOpts)
+            ctx = (quant_opts or QuantOpts()).inference_context()
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            outputs = self.model.apply(variables, imgs, masks, train=False)
         features, visibility, parts_masks, pixels_cls_scores = \
             self.extract_test_embeddings(outputs)
         # pixel part-prediction accuracy vs the target masks
@@ -372,24 +384,18 @@ class ImagePartBasedEngine(Engine):
         when cfg.test.int8 is on; None otherwise."""
         if self.config is None or not getattr(self.config.test, 'int8', False):
             return None
-        if self._int8_eval_step is None:
-            from bpbreid_tpu.ops.quant import int8_inference
+        if self._quant_coll is None:
             self._quant_coll = self._calibrate_int8(loader)
-            step = jax.jit(self._eval_step_impl)
-            tcfg = self.config.test
-            skip = tuple(getattr(tcfg, 'int8_skip_patterns', ()) or ())
-            shared = bool(getattr(tcfg, 'int8_shared_points', False))
-            gran = str(getattr(tcfg, 'int8_act_granularity', 'per_channel'))
+        # rebuilt every eval so cfg.test.int8_* changes take effect: the
+        # knobs travel as a static jit arg of _eval_step (QuantOpts), so
+        # a changed knob — not the contextvars — forces the retrace
+        opts = QuantOpts.from_config(self.config.test)
 
-            def int8_step(*args):
-                # quant mode is read at trace time: every (re)trace of
-                # this callable — first call or a new batch shape —
-                # must happen inside int8_inference()
-                with int8_inference(skip_patterns=skip, shared=shared,
-                                    act_granularity=gran):
-                    return step(*args)
+        def int8_step(params, batch_stats, imgs, masks, quant):
+            return self._eval_step(params, batch_stats, imgs, masks,
+                                   quant, quant_opts=opts)
 
-            self._int8_eval_step = int8_step
+        self._int8_eval_step = int8_step
         return self._int8_eval_step
 
     def _feature_extraction(self, loader):

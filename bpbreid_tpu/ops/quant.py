@@ -37,8 +37,42 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['int8_inference', 'int8_calibration', 'quant_mode', 'quant_conv',
-           'QTensor', 'quantize_static', 'dequantize', 'calib_amax',
-           'quant_skipped', 'quant_shared_points', 'act_scale_from_amax']
+           'QTensor', 'QuantOpts', 'quantize_static', 'dequantize',
+           'calib_amax', 'quant_skipped', 'quant_shared_points',
+           'act_scale_from_amax']
+
+
+class QuantOpts(NamedTuple):
+    """Hashable bundle of the trace-time mixed-precision knobs.
+
+    Pass one of these as a STATIC argument of any jitted function whose
+    body traces under ``int8_inference`` — the knobs are read from
+    contextvars at trace time, so they are invisible to the jit cache:
+    without a static-arg key, rebuilding a jitted callable for the same
+    function with different knob values silently reuses the first
+    compiled graph (bound methods compare equal, so even a fresh
+    ``jax.jit(obj.method)`` hits the old cache).
+
+    Defaults mirror config.py ``cfg.test.int8_*``.
+    """
+    skip_patterns: Any = ()
+    shared: bool = False
+    act_granularity: str = 'per_channel'
+
+    @classmethod
+    def from_config(cls, tcfg):
+        """Build from a ``cfg.test``-style namespace."""
+        return cls(
+            skip_patterns=tuple(
+                getattr(tcfg, 'int8_skip_patterns', ()) or ()),
+            shared=bool(getattr(tcfg, 'int8_shared_points', False)),
+            act_granularity=str(
+                getattr(tcfg, 'int8_act_granularity', 'per_channel')))
+
+    def inference_context(self):
+        return int8_inference(skip_patterns=self.skip_patterns,
+                              shared=self.shared,
+                              act_granularity=self.act_granularity)
 
 _MODE = contextvars.ContextVar('bpbreid_quant_mode', default='off')
 _CALIB_PCT = contextvars.ContextVar('bpbreid_quant_calib_pct', default=100.0)

@@ -56,27 +56,37 @@ class FeatureExtractor:
 
         mk = self.mask_kwargs
 
-        def forward(variables, imgs_u8, masks):
+        import contextlib
+
+        def forward(variables, imgs_u8, masks, quant_opts=None):
             imgs, m = eval_preprocess(imgs_u8, masks,
                                       norm_mean=self.norm_mean,
                                       norm_std=self.norm_std, mask_kwargs=mk)
-            return self.model.apply(variables, imgs, m, train=False)
+            ctx = quant_opts.inference_context() if quant_opts is not None \
+                else contextlib.nullcontext()
+            with ctx:
+                return self.model.apply(variables, imgs, m, train=False)
 
-        def forward_nomask(variables, imgs_u8):
+        def forward_nomask(variables, imgs_u8, quant_opts=None):
             imgs, _ = eval_preprocess(imgs_u8, None,
                                       norm_mean=self.norm_mean,
                                       norm_std=self.norm_std)
-            return self.model.apply(variables, imgs, train=False)
+            ctx = quant_opts.inference_context() if quant_opts is not None \
+                else contextlib.nullcontext()
+            with ctx:
+                return self.model.apply(variables, imgs, train=False)
 
-        self._forward_fn = forward
-        self._forward_nomask_fn = forward_nomask
-        self._forward = jax.jit(forward)
-        self._forward_nomask = jax.jit(forward_nomask)
+        # quant_opts is static: the int8 knobs are trace-time
+        # contextvars, invisible to the jit cache unless keyed here
+        # (ops/quant.py QuantOpts)
+        self._forward = jax.jit(forward, static_argnames=('quant_opts',))
+        self._forward_nomask = jax.jit(forward_nomask,
+                                       static_argnames=('quant_opts',))
         # calibrated int8 backbone (ops/quant.py), honoring cfg.test.int8:
-        # calibrate activation ranges on the first batch, then trace
-        # SEPARATE jitted callables inside int8_inference() (quant mode
-        # is read at trace time, so the float traces must not be reused)
+        # calibrate activation ranges on the first batch, then pass the
+        # QuantOpts static arg so the int8 graph gets its own cache entry
         self._use_int8 = bool(getattr(cfg.test, 'int8', False))
+        self._quant_opts = None
         self._int8_ready = False
         if verbose:
             print('FeatureExtractor ready: {} @ {}x{}{}'.format(
@@ -89,7 +99,7 @@ class FeatureExtractor:
         import jax
         import jax.numpy as jnp
         from bpbreid_tpu.data.augment import eval_preprocess
-        from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
+        from bpbreid_tpu.ops.quant import int8_calibration
         mk = self.mask_kwargs
 
         def calibrate(variables, imgs_u8, raw_masks=None):
@@ -104,9 +114,6 @@ class FeatureExtractor:
         tcfg = getattr(self.cfg, 'test', None) \
             if getattr(self, 'cfg', None) is not None else None
         pct = float(getattr(tcfg, 'int8_calib_percentile', 99.9))
-        skip = tuple(getattr(tcfg, 'int8_skip_patterns', ()) or ())
-        shared = bool(getattr(tcfg, 'int8_shared_points', False))
-        gran = str(getattr(tcfg, 'int8_act_granularity', 'per_channel'))
         with int8_calibration(percentile=pct):
             if masks is not None:
                 qvars = jax.jit(calibrate)(self.variables, jnp.asarray(imgs),
@@ -114,19 +121,8 @@ class FeatureExtractor:
             else:
                 qvars = jax.jit(calibrate)(self.variables, jnp.asarray(imgs))
         self.variables = {**self.variables, **qvars}
-
-        q_fwd = jax.jit(self._forward_fn)
-        q_fwd_nm = jax.jit(self._forward_nomask_fn)
-
-        def in_ctx(f):
-            def wrapped(*args):
-                with int8_inference(skip_patterns=skip, shared=shared,
-                                    act_granularity=gran):
-                    return f(*args)   # every (re)trace stays int8
-            return wrapped
-
-        self._forward = in_ctx(q_fwd)
-        self._forward_nomask = in_ctx(q_fwd_nm)
+        from bpbreid_tpu.ops.quant import QuantOpts
+        self._quant_opts = QuantOpts.from_config(tcfg)
         self._int8_ready = True
 
     def _load_weights(self, path):
@@ -164,5 +160,7 @@ class FeatureExtractor:
             self._ensure_int8(imgs, external_parts_masks)
         if external_parts_masks is not None:
             return self._forward(self.variables, jnp.asarray(imgs),
-                                 jnp.asarray(external_parts_masks))
-        return self._forward_nomask(self.variables, jnp.asarray(imgs))
+                                 jnp.asarray(external_parts_masks),
+                                 quant_opts=self._quant_opts)
+        return self._forward_nomask(self.variables, jnp.asarray(imgs),
+                                    quant_opts=self._quant_opts)

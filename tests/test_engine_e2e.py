@@ -120,6 +120,38 @@ def test_eval_int8_matches_float(setup):
     assert 0.0 <= mAP_q <= 1.0 and np.all(np.diff(cmc_q) >= -1e-6)
 
 
+@pytest.mark.slow
+def test_int8_knob_changes_take_effect_in_process(setup):
+    """Round-3 regression: the int8 mixed-precision knobs are trace-time
+    contextvars; before QuantOpts became a static argument of the jitted
+    eval step, changing cfg.test.int8_* after the first int8 trace
+    silently reused the stale compiled graph (bound methods compare
+    equal, so even a rebuilt jax.jit(engine._eval_step_impl) hit the
+    first wrapper's cache)."""
+    cfg, dm, engine = setup
+    loader = dm.test_loader['synthetic']['query']
+    f_float, *_ = engine._feature_extraction(loader)
+    cfg.test.int8 = True
+    try:
+        f_q, *_ = engine._feature_extraction(loader)
+        # '' matches every flax module path -> every conv stays float,
+        # so the "int8" eval must now reproduce the float features
+        cfg.test.int8_skip_patterns = ['']
+        f_skip_all, *_ = engine._feature_extraction(loader)
+        cfg.test.int8_skip_patterns = []
+        cfg.test.int8_act_granularity = 'per_tensor'
+        f_pt, *_ = engine._feature_extraction(loader)
+    finally:
+        cfg.test.int8 = False
+        cfg.test.int8_skip_patterns = []
+        cfg.test.int8_act_granularity = 'per_channel'
+        engine._int8_eval_step = None
+        engine._quant_coll = None
+    assert np.abs(f_q - f_float).max() > 0           # int8 is active
+    assert np.abs(f_pt - f_q).max() > 0              # granularity knob acts
+    np.testing.assert_array_equal(f_skip_all, f_float)
+
+
 def test_checkpoint_roundtrip(setup, tmp_path):
     import jax.numpy as jnp
     from bpbreid_tpu.utils.checkpoint import (

@@ -78,6 +78,41 @@ def test_calibrate_then_int8_pconv():
                                atol=1e-6)
 
 
+def test_quant_opts_static_arg_forces_retrace():
+    """Round-3 regression: the mixed-precision knobs (skip patterns,
+    shared points, activation granularity) are trace-time contextvars —
+    invisible to the jit cache. QuantOpts passed as a static argument
+    puts them in the cache key; without it, the second call with changed
+    knobs silently reused the first compiled graph."""
+    from functools import partial
+    from bpbreid_tpu.models.common import PConv
+    from bpbreid_tpu.ops.quant import QuantOpts
+
+    m = PConv(8, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+              dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 8, 8, 4)),
+                    jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    with int8_calibration():
+        _, qvars = m.apply(v, x, mutable=['quant'])
+    vq = {**v, **qvars}
+
+    @partial(jax.jit, static_argnames='quant_opts')
+    def run(variables, x, quant_opts):
+        with quant_opts.inference_context():
+            return m.apply(variables, x)
+
+    y_float = np.asarray(m.apply(v, x))
+    y_pc = np.asarray(run(vq, x, QuantOpts()))
+    y_pt = np.asarray(run(vq, x, QuantOpts(act_granularity='per_tensor')))
+    # '' matches every flax module path -> every conv stays float
+    y_skip = np.asarray(run(vq, x, QuantOpts(skip_patterns=('',))))
+
+    assert np.abs(y_pc - y_float).max() > 0          # int8 is active
+    assert np.abs(y_pt - y_pc).max() > 0             # granularity knob acts
+    np.testing.assert_array_equal(y_skip, y_float)   # skip-all == float
+
+
 @pytest.mark.slow
 def test_int8_hrnet_preserves_features_and_ranking():
     """The calibrated int8 backbone must keep BPBreID embeddings close
