@@ -190,6 +190,15 @@ class TrainCfg:
     # nn.DataParallel, main.py:257): 0 = auto (all visible devices when
     # more than one), 1 = force single-device, N>1 = mesh over N devices
     n_devices: int = 0
+    # train steps fused into ONE compiled program per dispatch
+    # (lax.scan over k stacked batches). Host->device dispatch latency —
+    # dominant through tunneled/remote TPU backends, still real locally —
+    # is paid once per k steps instead of every step; the per-step math,
+    # RNG stream, and metrics are identical to k single dispatches.
+    # A trailing partial group falls back to single-step calls.
+    # Set 1 to dispatch per batch (reference semantics; also forced when
+    # batch_debug_freq > 0, which needs per-batch model outputs).
+    steps_per_dispatch: int = 8
 
 
 @dataclass

@@ -17,7 +17,29 @@ import numpy as np
 from bpbreid_tpu.utils.avgmeter import MetricsSummary, TimeMeter
 from bpbreid_tpu.utils.engine_state import EngineState
 
-__all__ = ['Engine', 'device_prefetch']
+__all__ = ['Engine', 'device_prefetch', 'group_train_batches']
+
+
+def group_train_batches(loader, k, keys=('image', 'mask', 'pid')):
+    """Stack ``k`` consecutive train batches into one ``[k, B, ...]``
+    super-batch for multi-step dispatch (``forward_backward_multi``).
+
+    Yields stacked dicts carrying ``_k`` = k for full groups; a trailing
+    partial group degrades to the raw per-batch dicts (no ``_k``), which
+    the train loop runs through the already-compiled single-step path —
+    no extra scan graph is compiled for the remainder.
+    """
+    buf = []
+    for batch in loader:
+        buf.append(batch)
+        if len(buf) == k:
+            stacked = {key: np.stack([b[key] for b in buf])
+                       for key in keys if key in buf[0]}
+            stacked['_k'] = k
+            yield stacked
+            buf = []
+    for batch in buf:
+        yield batch
 
 
 def device_prefetch(loader, depth=2, keys=('image', 'mask', 'pid')):
@@ -217,27 +239,59 @@ class Engine:
             w.epoch_timer.start()
         log_freq = getattr(self.config.train, 'batch_log_freq', 0) \
             if self.config is not None else 0
+        # multi-step dispatch: fuse steps_per_dispatch batches into one
+        # compiled lax.scan call (forward_backward_multi) — dispatch
+        # latency amortizes over the group; math/rng/metrics identical
+        spd = 1
+        if self.config is not None:
+            spd = int(getattr(self.config.train, 'steps_per_dispatch', 1)
+                      or 1)
+            if getattr(self.config.train, 'batch_debug_freq', 0):
+                spd = 1     # per-batch debug dumps need per-batch outputs
+        multi = getattr(self, 'forward_backward_multi', None)
+        use_groups = spd > 1 and multi is not None
         self.engine_state.epoch_started()
         num_batches = len(self.datamanager.train_loader)
+        stream = device_prefetch(
+            group_train_batches(self.datamanager.train_loader, spd)) \
+            if use_groups else device_prefetch(self.datamanager.train_loader)
+        done = logged = printed = 0
         end = time.perf_counter()
-        for batch_idx, batch in enumerate(
-                device_prefetch(self.datamanager.train_loader)):
+        for item in stream:
             if self._preempted:
                 break
-            data_time.meter.update(time.perf_counter() - end)
-            self.engine_state.batch_started()
-            loss, loss_summary = self.forward_backward(batch)
-            losses.update(loss_summary)
-            batch_time.meter.update(time.perf_counter() - end)
+            data_start = time.perf_counter()
+            k = int(item.pop('_k', 0))
+            if k:                                 # stacked k-step group
+                for _ in range(k):
+                    self.engine_state.batch_started()
+                loss_vec, loss_summary = multi(item)
+                loss = loss_vec[-1]
+                n = k
+            else:
+                self.engine_state.batch_started()
+                loss, loss_summary = self.forward_backward(item)
+                n = 1
+            data_time.meter.update((data_start - end) / n, n)
+            losses.update(loss_summary)     # [k]-leaf trees average fine
+            batch_time.meter.update((time.perf_counter() - end) / n, n)
             end = time.perf_counter()
-            self.engine_state.batch_completed()
-            if w is not None and log_freq > 0 \
-                    and (batch_idx + 1) % log_freq == 0:
-                w.report_global_step(loss_summary, self.engine_state.lr)
-            if print_freq > 0 and (batch_idx + 1) % print_freq == 0:
+            done += n
+            for _ in range(n):
+                self.engine_state.batch_completed()
+            if w is not None and log_freq > 0 and done // log_freq > logged:
+                logged = done // log_freq
+                latest = loss_summary
+                if k:       # most recent step's scalars
+                    import jax
+                    latest = jax.tree_util.tree_map(lambda a: a[-1],
+                                                    loss_summary)
+                w.report_global_step(latest, self.engine_state.lr)
+            if print_freq > 0 and done // print_freq > printed:
+                printed = done // print_freq
                 print('epoch: [{}/{}][{}/{}] time {:.3f} data {:.3f} '
                       'loss {:.4f} | {}'.format(
-                          epoch + 1, self.max_epoch, batch_idx + 1,
+                          epoch + 1, self.max_epoch, done,
                           num_batches, batch_time.meter.avg,
                           data_time.meter.avg, float(loss),
                           losses.summary_str()))

@@ -91,6 +91,9 @@ class ImagePartBasedEngine(Engine):
         self._train_step = jax.jit(self._train_step_impl,
                                    static_argnames=('freeze_base',),
                                    donate_argnums=(0,))
+        self._train_multi_step = jax.jit(self._train_multi_step_impl,
+                                         static_argnames=('freeze_base',),
+                                         donate_argnums=(0,))
         # quant_opts is static: it keys the jit cache on the int8 knobs
         # (trace-time contextvars, invisible to the cache otherwise)
         self._eval_step = jax.jit(self._eval_step_impl,
@@ -220,6 +223,56 @@ class ImagePartBasedEngine(Engine):
                                   opt_state=new_opt_state,
                                   step=state.step + 1)
         return new_state, next_rng, loss, loss_summary
+
+    def _train_multi_step_impl(self, state, imgs_u8, raw_masks, pids, rng,
+                               freeze_base=False):
+        """k train steps in ONE compiled program: ``lax.scan`` of the
+        single-step body over the leading (step) axis of the stacked
+        batch arrays ``[k, B, ...]``.
+
+        Dispatching a compiled program costs a host->device round trip —
+        the dominant per-step cost through a tunneled/remote TPU backend
+        (measured: the flagship step is ~28 ms of device compute but
+        ~90 ms wall when dispatched one batch at a time). The scan pays
+        that once per k steps. The carried rng reproduces the exact
+        split chain of k single dispatches, so losses, parameter
+        updates, and metrics are identical either way.
+        """
+        def body(carry, xs):
+            st, r = carry
+            st, r, loss, summary = self._train_step_impl(
+                st, xs['image'], xs.get('mask'), xs['pid'], r,
+                freeze_base=freeze_base)
+            return (st, r), (loss, summary)
+
+        xs = {'image': imgs_u8, 'pid': pids}
+        if raw_masks is not None:
+            xs['mask'] = raw_masks
+        (state, rng), (losses, summaries) = jax.lax.scan(
+            body, (state, rng), xs)
+        return state, rng, losses, summaries
+
+    def forward_backward_multi(self, batch):
+        """Run ``k = batch['image'].shape[0]`` train steps in one
+        dispatch (see ``_train_multi_step_impl``). ``batch`` holds
+        step-stacked arrays ``[k, B, ...]``. Returns the per-step loss
+        vector and a loss-summary tree with a leading ``[k]`` axis —
+        both device arrays, drained lazily by the meters."""
+        if self.state is None:
+            self.init_state()
+        imgs = jnp.asarray(batch['image'])
+        masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
+        pids = jnp.asarray(batch['pid'])
+        sharding = getattr(self, 'multi_batch_sharding', None)
+        if sharding is not None:    # mesh-distributed (parallel/train.py)
+            imgs = jax.device_put(imgs, sharding)
+            pids = jax.device_put(pids, sharding)
+            if masks is not None:
+                masks = jax.device_put(masks, sharding)
+        self.state, self._rng, losses, summaries = self._train_multi_step(
+            self.state, imgs, masks, pids, self._rng,
+            freeze_base=self._freeze_base)
+        return losses, summaries
 
     def _eval_step_impl(self, params, batch_stats, imgs_u8, raw_masks,
                         quant=None, quant_opts=None):

@@ -59,6 +59,29 @@ def distribute_engine(engine, mesh=None, n_devices=None):
         return variants[bool(freeze_base)](state, *args)
 
     engine._train_step = sharded_step
+
+    # multi-step dispatch (engine.forward_backward_multi): step-stacked
+    # [k, B, ...] batches shard their BATCH axis (axis 1); the scan axis
+    # stays unsharded so every device runs all k steps on its shard
+    if hasattr(engine, '_train_multi_step_impl'):
+        mdata = NamedSharding(mesh, P(None, DATA_AXIS))
+        engine.multi_batch_sharding = mdata
+        if 'raw_masks' in sig.parameters:
+            m_in = (repl, mdata, mdata, mdata, repl)
+        else:
+            m_in = (repl, mdata, mdata, repl)
+        mvariants = {
+            flag: jax.jit(
+                partial(engine._train_multi_step_impl, freeze_base=flag),
+                in_shardings=m_in, donate_argnums=(0,))
+            for flag in (False, True)
+        }
+
+        def sharded_multi_step(state, *args, freeze_base=False):
+            return mvariants[bool(freeze_base)](state, *args)
+
+        engine._train_multi_step = sharded_multi_step
+
     if engine.state is not None:
         engine.state = jax.device_put(engine.state, repl)
     return mesh

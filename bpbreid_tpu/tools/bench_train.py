@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument('--width', type=int, default=128)
     parser.add_argument('--backbone', default='hrnet32')
     parser.add_argument('--iters', type=int, default=20)
+    parser.add_argument('--steps-per-dispatch', type=int, default=8,
+                        help='train steps fused per compiled dispatch '
+                             '(cfg.train.steps_per_dispatch; 1 = the '
+                             'per-batch path)')
     args = parser.parse_args(argv)
 
     import jax
@@ -62,19 +66,33 @@ def main(argv=None):
     engine.init_state()
 
     batch = next(iter(dm.train_loader))
-    dbatch = {k: (jax.device_put(v) if hasattr(v, 'shape') else v)
-              for k, v in batch.items()}
+    spd = max(1, args.steps_per_dispatch)
+    if spd > 1:
+        # the engine's multi-step path: k batches stacked into one
+        # [k, B, ...] super-batch, one lax.scan dispatch for k steps
+        stacked = {k: np.stack([batch[k]] * spd)
+                   for k in ('image', 'mask', 'pid') if k in batch}
+        dbatch = {k: jax.device_put(v) for k, v in stacked.items()}
+        step = lambda: engine.forward_backward_multi(dbatch)  # noqa: E731
+        sync = lambda out: float(out[0][-1])                  # noqa: E731
+        n_steps = args.iters * spd
+    else:
+        dbatch = {k: (jax.device_put(v) if hasattr(v, 'shape') else v)
+                  for k, v in batch.items()}
+        step = lambda: engine.forward_backward(dbatch)        # noqa: E731
+        sync = lambda out: float(out[0])                      # noqa: E731
+        n_steps = args.iters
 
-    loss, summary = engine.forward_backward(dbatch)     # compile + warmup
-    float(loss)
+    sync(step())                                        # compile + warmup
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        loss, summary = engine.forward_backward(dbatch)
-    float(loss)                                         # final sync
-    dt = (time.perf_counter() - t0) / args.iters
+        out = step()
+    sync(out)                                           # final sync
+    dt = (time.perf_counter() - t0) / n_steps
     print(json.dumps({
-        'metric': '{}_bpbreid_train_step_{}x{}_b{}'.format(
-            args.backbone, args.height, args.width, args.batch_size),
+        'metric': '{}_bpbreid_train_step_{}x{}_b{}{}'.format(
+            args.backbone, args.height, args.width, args.batch_size,
+            '_spd{}'.format(spd) if spd > 1 else ''),
         'value': round(args.batch_size / dt, 2),
         'unit': 'images/sec/chip',
         'step_ms': round(dt * 1e3, 2),

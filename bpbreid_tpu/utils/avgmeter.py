@@ -60,10 +60,18 @@ class MetricsSummary:
             self._drain()
 
     def _drain(self):
+        import numpy as np
         for summary, n in self._pending:
             for group, metrics in summary.items():
                 for name, value in metrics.items():
-                    self.meters[group][name].update(value, n)
+                    v = np.asarray(value)
+                    if v.ndim:
+                        # a [k] per-step vector from a multi-step
+                        # dispatch == k scalar updates of weight n
+                        self.meters[group][name].update(
+                            float(v.mean()), n * v.size)
+                    else:
+                        self.meters[group][name].update(value, n)
         self._pending.clear()
 
     def summary_str(self):

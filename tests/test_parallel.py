@@ -222,3 +222,11 @@ def test_distribute_engine_end_to_end():
     loss1, _ = engine.forward_backward(batch)
     loss2, _ = engine.forward_backward(batch)
     assert np.isfinite(loss1) and np.isfinite(loss2)
+
+    # multi-step dispatch under the mesh: [k, B, ...] groups shard the
+    # batch axis (axis 1); the scan still runs per-device over k steps
+    stacked = {k: np.stack([batch[k]] * 3)
+               for k in ('image', 'mask', 'pid') if k in batch}
+    loss_vec, summaries = engine.forward_backward_multi(stacked)
+    assert loss_vec.shape == (3,)
+    assert np.isfinite(np.asarray(loss_vec)).all()
