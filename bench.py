@@ -23,6 +23,11 @@ def main():
     parser.add_argument('--pallas-pooling', action='store_true')
     parser.add_argument('--no-int8', action='store_true',
                         help='disable the int8 backbone-conv path')
+    parser.add_argument('--scan-batches', type=int, default=4,
+                        help='batches fused per compiled dispatch '
+                             '(lax.scan, same per-image math; mirrors '
+                             'cfg.test.batches_per_dispatch in the eval '
+                             'engine). 1 = per-batch dispatch')
     args = parser.parse_args()
 
     import os
@@ -56,7 +61,24 @@ def main():
             variables, images, train=False)
         return emb[BN_FOREGROUND], emb[PARTS], vis[PARTS]
 
-    forward = jax.jit(forward_impl)
+    # dispatch amortization (same technique as the eval engine's
+    # cfg.test.batches_per_dispatch): scan the forward over k stacked
+    # batches so the host->device dispatch round trip — a large fixed
+    # cost through a tunneled/remote TPU backend — is paid once per
+    # k*B images instead of once per B. Per-image math is identical.
+    scan_k = max(1, args.scan_batches)
+    if scan_k > 1:
+        def batched_impl(variables, images_k):
+            def body(_, im):
+                return None, forward_impl(variables, im)
+            _, outs = jax.lax.scan(body, None, images_k)
+            return outs
+        bench_images = jnp.stack([images] * scan_k)
+    else:
+        batched_impl = forward_impl
+        bench_images = images
+
+    forward = jax.jit(batched_impl)
 
     # warmup + compile; a host readback of one output guarantees true
     # device completion (block_until_ready alone can under-sync through
@@ -83,27 +105,27 @@ def main():
             # covers (TestCfg defaults: per-conv scales, float
             # residuals — see config.py int8_shared_points)
             with int8_inference(shared=False):
-                out = forward(variables, images)
+                out = forward(variables, bench_images)
         except Exception as e:     # never lose the bench to the int8 path
             print('int8 path failed ({}); falling back to bf16'.format(e),
                   file=sys.stderr)
             use_int8 = False
-            forward = jax.jit(forward_impl)   # fresh trace, float mode
-            out = forward(variables, images)
+            forward = jax.jit(batched_impl)   # fresh trace, float mode
+            out = forward(variables, bench_images)
     else:
-        out = forward(variables, images)
+        out = forward(variables, bench_images)
     sync(out)
     for _ in range(args.warmup):
-        out = forward(variables, images)
+        out = forward(variables, bench_images)
     sync(out)
 
     start = time.perf_counter()
     for _ in range(args.iters):
-        out = forward(variables, images)
+        out = forward(variables, bench_images)
     sync(out)
     elapsed = time.perf_counter() - start
 
-    imgs_per_sec = args.batch_size * args.iters / elapsed
+    imgs_per_sec = args.batch_size * scan_k * args.iters / elapsed
     n_chips = max(1, len(jax.devices()))
     per_chip = imgs_per_sec / n_chips
     precision = 'int8' if use_int8 else 'bf16'

@@ -273,6 +273,15 @@ class TestCfg:
     batch_size: int = 128
     batch_size_pairwise_dist_matrix: int = 500
     dist_metric: str = 'euclidean'
+    # eval batches fused into ONE compiled program per dispatch
+    # (lax.scan over k stacked batches), mirroring
+    # train.steps_per_dispatch: through a tunneled/remote TPU backend
+    # the per-dispatch host round trip is a large fraction of the
+    # per-batch eval cost; the scan pays it once per k batches. The
+    # per-image math is identical. A trailing short group is padded
+    # with all-invalid copies of the last batch, so exactly one eval
+    # graph is compiled. Set 1 for per-batch dispatch.
+    batches_per_dispatch: int = 4
     # calibrated int8 backbone convolutions for feature extraction
     # (ops/quant.py): calibrates activation ranges on the first
     # `int8_calib_batches` eval batches (running |x|max accumulated

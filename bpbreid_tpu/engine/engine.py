@@ -75,6 +75,27 @@ def device_prefetch(loader, depth=2, keys=('image', 'mask', 'pid')):
 
 
 class Engine:
+    @staticmethod
+    def _eval_batch_groups(loader, k):
+        """Yield lists of ``k`` consecutive eval batches
+        (cfg.test.batches_per_dispatch). Eval batches all share one
+        padded shape (the loader pads the final batch and marks rows
+        with ``valid``), so a trailing short group is padded with
+        all-invalid copies of its last batch — every group dispatches
+        through the SAME compiled ``[k, B, ...]`` graph and the padding
+        contributes nothing to the outputs."""
+        buf = []
+        for batch in loader:
+            buf.append(batch)
+            if len(buf) == k:
+                yield buf
+                buf = []
+        if buf:
+            filler = dict(buf[-1])
+            filler['valid'] = np.zeros_like(np.asarray(buf[-1]['valid']))
+            buf.extend([filler] * (k - len(buf)))
+            yield buf
+
     def __init__(self, config, datamanager, writer=None, engine_state=None):
         self.config = config
         self.datamanager = datamanager

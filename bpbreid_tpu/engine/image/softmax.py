@@ -48,6 +48,7 @@ class ImageSoftmaxEngine(Engine):
                                    static_argnames=('freeze_base',),
                                    donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_multi_step = jax.jit(self._eval_multi_step_impl)
 
     def init_state(self, rng=None, height=None, width=None):
         h = height or (self.config.data.height if self.config else 256)
@@ -158,16 +159,39 @@ class ImageSoftmaxEngine(Engine):
         # part_based.forward_backward) so the step pipeline never blocks
         return loss, summary
 
+    def _eval_multi_step_impl(self, params, batch_stats, imgs_u8):
+        """k eval batches per compiled dispatch
+        (cfg.test.batches_per_dispatch; see
+        part_based._eval_multi_step_impl for the rationale)."""
+        def body(_, im):
+            return None, self._eval_step_impl(params, batch_stats, im)
+        _, feats = jax.lax.scan(body, None, imgs_u8)
+        return feats
+
     def _feature_extraction(self, loader):
         from bpbreid_tpu.engine.engine import device_prefetch
         f_, pids_, camids_ = [], [], []
-        for batch in device_prefetch(loader):
-            feats = self._eval_step(self.state.params, self.state.batch_stats,
-                                    jnp.asarray(batch['image']))
-            valid = batch['valid']
-            f_.append(np.asarray(feats)[valid])
-            pids_.append(batch['pid'][valid])
-            camids_.append(batch['camid'][valid])
+        k = max(1, int(getattr(self.config.test, 'batches_per_dispatch', 1)
+                       or 1)) if self.config is not None else 1
+        if k > 1:
+            for group in self._eval_batch_groups(loader, k):
+                imgs = jnp.asarray(np.stack([b['image'] for b in group]))
+                feats = self._eval_multi_step(
+                    self.state.params, self.state.batch_stats, imgs)
+                for i, b in enumerate(group):
+                    valid = np.asarray(b['valid'])
+                    f_.append(np.asarray(feats[i])[valid])
+                    pids_.append(np.asarray(b['pid'])[valid])
+                    camids_.append(np.asarray(b['camid'])[valid])
+        else:
+            for batch in device_prefetch(loader):
+                feats = self._eval_step(self.state.params,
+                                        self.state.batch_stats,
+                                        jnp.asarray(batch['image']))
+                valid = batch['valid']
+                f_.append(np.asarray(feats)[valid])
+                pids_.append(batch['pid'][valid])
+                camids_.append(batch['camid'][valid])
         return np.concatenate(f_), np.concatenate(pids_), np.concatenate(camids_)
 
     def _evaluate(self, epoch, dataset_name='', query_loader=None,

@@ -98,6 +98,8 @@ class ImagePartBasedEngine(Engine):
         # (trace-time contextvars, invisible to the cache otherwise)
         self._eval_step = jax.jit(self._eval_step_impl,
                                   static_argnames=('quant_opts',))
+        self._eval_multi_step = jax.jit(self._eval_multi_step_impl,
+                                        static_argnames=('quant_opts',))
         # calibrated int8 eval path (cfg.test.int8): calibration runs
         # lazily on the first eval batches (see _maybe_int8_eval_step)
         self._int8_eval_step = None
@@ -309,6 +311,30 @@ class ImagePartBasedEngine(Engine):
         return (features, visibility, parts_masks, pixels_cls_scores, masks,
                 pxl_correct, pxl_total)
 
+    def _eval_multi_step_impl(self, params, batch_stats, imgs_u8, raw_masks,
+                              quant=None, quant_opts=None):
+        """k eval batches in ONE compiled program: ``lax.scan`` of the
+        single-batch eval body over the leading (batch-group) axis of
+        the stacked ``[k, B, ...]`` inputs — the eval-side analogue of
+        ``_train_multi_step_impl`` (cfg.test.batches_per_dispatch).
+
+        Only the small per-sample outputs (embeddings, visibility,
+        pixel-accuracy counts) leave the scan; the [B, Hf, Wf, ...]
+        attention/pixel maps are consumed inside the body, so HBM holds
+        k × a few MB of results, not k full map stacks."""
+        def body(_, xs):
+            out = self._eval_step_impl(params, batch_stats,
+                                       xs['image'], xs.get('mask'),
+                                       quant=quant, quant_opts=quant_opts)
+            feats, vis, _masks, _pxl, _m, corr, tot = out
+            return None, (feats, vis, corr, tot)
+
+        xs = {'image': imgs_u8}
+        if raw_masks is not None:
+            xs['mask'] = raw_masks
+        _, outs = jax.lax.scan(body, None, xs)
+        return outs
+
     def extract_test_embeddings(self, model_output):
         """Concatenate the configured embedding streams to [N, P+2, D]
         (reference: part_based_engine.py:365-387)."""
@@ -453,33 +479,98 @@ class ImagePartBasedEngine(Engine):
 
     def _feature_extraction(self, loader):
         f_, vis_, pids_, camids_ = [], [], [], []
-        pxl_correct = pxl_total = 0.0
+        corr_, tot_, valid_ = [], [], []
         from bpbreid_tpu.engine.engine import device_prefetch
         sharding = getattr(self, 'batch_sharding', None)
+        msharding = getattr(self, 'multi_batch_sharding', None)
         n_dev = self.mesh.devices.size if getattr(self, 'mesh', None) else 1
         int8_step = self._maybe_int8_eval_step(loader)
-        for batch in device_prefetch(loader):
-            imgs = jnp.asarray(batch['image'])
-            masks = jnp.asarray(batch['mask']) if 'mask' in batch else None
-            if sharding is not None and imgs.shape[0] % n_dev == 0:
-                imgs = jax.device_put(imgs, sharding)
-                if masks is not None:
-                    masks = jax.device_put(masks, sharding)
-            if int8_step is not None:
-                (feats, vis, _masks, _pxl, _m, corr, tot) = int8_step(
-                    self.state.params, self.state.batch_stats, imgs, masks,
-                    self._quant_coll)
-            else:
-                (feats, vis, _masks, _pxl, _m, corr, tot) = self._eval_step(
-                    self.state.params, self.state.batch_stats, imgs, masks)
-            valid = batch['valid']
-            f_.append(np.asarray(feats)[valid])
-            vis_.append(np.asarray(vis)[valid])
-            pids_.append(batch['pid'][valid])
-            camids_.append(batch['camid'][valid])
-            if np.ndim(corr):
-                pxl_correct += float(np.asarray(corr)[valid].sum())
-                pxl_total += float(np.asarray(tot)[valid].sum())
+        k = 1
+        if self.config is not None:
+            k = max(1, int(getattr(self.config.test,
+                                   'batches_per_dispatch', 1) or 1))
+        if sharding is not None and msharding is None:
+            k = 1       # mesh eval without a stacked-batch sharding
+
+        # readback runs one dispatch behind: batch i's device->host
+        # conversion happens only after dispatch i+1 is enqueued, so the
+        # host never stalls the device pipeline, while HBM holds at most
+        # two dispatches' outputs (a full eval's features must not
+        # accumulate on device — 500k distractors x [P+2, 512] ~ 8 GB)
+        flushed = 0
+
+        def _flush(upto):
+            nonlocal flushed
+            for i in range(flushed, upto):
+                f_[i] = np.asarray(f_[i])[valid_[i]]
+                vis_[i] = np.asarray(vis_[i])[valid_[i]]
+            flushed = upto
+
+        if k > 1:
+            # grouped dispatch: k batches per compiled program
+            # (cfg.test.batches_per_dispatch; see _eval_multi_step_impl)
+            for group in self._eval_batch_groups(loader, k):
+                imgs = jnp.asarray(np.stack([b['image'] for b in group]))
+                masks = jnp.asarray(np.stack([b['mask'] for b in group])) \
+                    if 'mask' in group[0] else None
+                if msharding is not None \
+                        and imgs.shape[1] % n_dev == 0:
+                    imgs = jax.device_put(imgs, msharding)
+                    if masks is not None:
+                        masks = jax.device_put(masks, msharding)
+                if int8_step is not None:
+                    feats, vis, corr, tot = self._eval_multi_step(
+                        self.state.params, self.state.batch_stats, imgs,
+                        masks, self._quant_coll,
+                        quant_opts=QuantOpts.from_config(self.config.test))
+                else:
+                    feats, vis, corr, tot = self._eval_multi_step(
+                        self.state.params, self.state.batch_stats, imgs,
+                        masks)
+                n_prev = len(valid_)
+                for i, b in enumerate(group):
+                    f_.append(feats[i])
+                    vis_.append(vis[i])
+                    corr_.append(corr[i])
+                    tot_.append(tot[i])
+                    valid = np.asarray(b['valid'])
+                    valid_.append(valid)
+                    pids_.append(np.asarray(b['pid'])[valid])
+                    camids_.append(np.asarray(b['camid'])[valid])
+                _flush(n_prev)      # previous group, post-dispatch
+        else:
+            for batch in device_prefetch(loader):
+                imgs = jnp.asarray(batch['image'])
+                masks = jnp.asarray(batch['mask']) \
+                    if 'mask' in batch else None
+                if sharding is not None and imgs.shape[0] % n_dev == 0:
+                    imgs = jax.device_put(imgs, sharding)
+                    if masks is not None:
+                        masks = jax.device_put(masks, sharding)
+                if int8_step is not None:
+                    (feats, vis, _masks, _pxl, _m, corr, tot) = int8_step(
+                        self.state.params, self.state.batch_stats, imgs,
+                        masks, self._quant_coll)
+                else:
+                    (feats, vis, _masks, _pxl, _m, corr, tot) = \
+                        self._eval_step(self.state.params,
+                                        self.state.batch_stats, imgs, masks)
+                f_.append(feats)
+                vis_.append(vis)
+                corr_.append(corr)
+                tot_.append(tot)
+                valid_.append(np.asarray(batch['valid']))
+                pids_.append(np.asarray(batch['pid'])[valid_[-1]])
+                camids_.append(np.asarray(batch['camid'])[valid_[-1]])
+                _flush(len(valid_) - 1)     # previous batch
+
+        _flush(len(valid_))
+        # the [N]-scalar pixel-accuracy counts are tiny; read them last
+        pxl_correct = pxl_total = 0.0
+        for i, valid in enumerate(valid_):
+            if np.ndim(corr_[i]):
+                pxl_correct += float(np.asarray(corr_[i])[valid].sum())
+                pxl_total += float(np.asarray(tot_[i])[valid].sum())
         acc = pxl_correct / pxl_total if pxl_total else 0.0
         return (np.concatenate(f_), np.concatenate(vis_),
                 np.concatenate(pids_), np.concatenate(camids_), acc)

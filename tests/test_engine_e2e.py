@@ -120,6 +120,32 @@ def test_eval_int8_matches_float(setup):
     assert 0.0 <= mAP_q <= 1.0 and np.all(np.diff(cmc_q) >= -1e-6)
 
 
+def test_eval_grouped_dispatch_matches_single(setup):
+    """cfg.test.batches_per_dispatch>1 (k eval batches scanned in one
+    compiled program) must reproduce the per-batch path: same features,
+    visibility, pids, camids, pixel accuracy. Uses k=4 over a 6-batch
+    loader so the trailing short group exercises the all-invalid
+    padding."""
+    cfg, dm, engine = setup
+    loader = dm.test_loader['synthetic']['query']
+    assert len(loader) % 4 != 0     # trailing partial group covered
+    prev = cfg.test.batches_per_dispatch
+    cfg.test.batches_per_dispatch = 1
+    try:
+        f1, v1, p1, c1, acc1 = engine._feature_extraction(loader)
+        cfg.test.batches_per_dispatch = 4
+        f4, v4, p4, c4, acc4 = engine._feature_extraction(loader)
+    finally:
+        cfg.test.batches_per_dispatch = prev
+    np.testing.assert_array_equal(p1, p4)
+    np.testing.assert_array_equal(c1, c4)
+    # scan-compiled vs standalone graph: identical math up to f32
+    # fusion/reassociation differences
+    np.testing.assert_allclose(f1, f4, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(v1, v4, rtol=1e-5, atol=1e-5)
+    assert abs(acc1 - acc4) < 1e-4, (acc1, acc4)
+
+
 def test_multi_step_dispatch_matches_single(setup):
     """forward_backward_multi (k steps fused into one lax.scan dispatch,
     cfg.train.steps_per_dispatch) must reproduce k single dispatches
