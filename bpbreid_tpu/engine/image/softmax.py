@@ -47,6 +47,9 @@ class ImageSoftmaxEngine(Engine):
         self._train_step = jax.jit(self._train_step_impl,
                                    static_argnames=('freeze_base',),
                                    donate_argnums=(0,))
+        self._train_multi_step = jax.jit(self._train_multi_step_impl,
+                                         static_argnames=('freeze_base',),
+                                         donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._eval_multi_step = jax.jit(self._eval_multi_step_impl)
 
@@ -140,6 +143,32 @@ class ImageSoftmaxEngine(Engine):
         return state.replace(params=params, batch_stats=bs,
                              opt_state=opt_state, step=state.step + 1), \
             next_rng, loss, summary
+
+    def _train_multi_step_impl(self, state, imgs_u8, pids, rng,
+                               freeze_base=False):
+        """k train steps in one compiled program
+        (cfg.train.steps_per_dispatch; see
+        part_based._train_multi_step_impl for the rationale)."""
+        def body(carry, xs):
+            st, r = carry
+            st, r, loss, summary = self._train_step_impl(
+                st, xs['image'], xs['pid'], r, freeze_base=freeze_base)
+            return (st, r), (loss, summary)
+
+        (state, rng), (losses, summaries) = jax.lax.scan(
+            body, (state, rng), {'image': imgs_u8, 'pid': pids})
+        return state, rng, losses, summaries
+
+    def forward_backward_multi(self, batch):
+        """Step-stacked ``[k, B, ...]`` batches -> per-step loss vector
+        and a summary tree with a leading ``[k]`` axis."""
+        if self.state is None:
+            self.init_state()
+        self.state, self._rng, losses, summaries = self._train_multi_step(
+            self.state, jnp.asarray(batch['image']),
+            jnp.asarray(batch['pid']), self._rng,
+            freeze_base=self._freeze_base)
+        return losses, summaries
 
     def _eval_step_impl(self, params, batch_stats, imgs_u8):
         imgs, _ = eval_preprocess(imgs_u8, None, norm_mean=self.norm_mean,

@@ -32,6 +32,17 @@ class VideoSoftmaxEngine(ImageSoftmaxEngine):
         flat['pid'] = np.repeat(np.asarray(batch['pid']), s)
         return super().forward_backward(flat)
 
+    def forward_backward_multi(self, batch):
+        # step-stacked tracklets [k, B, S, H, W, 3] -> [k, B*S, H, W, 3]
+        # with pids repeated per frame (frame order matches the reshape:
+        # B-major, S fastest), then the image engine's k-step scan
+        imgs = jnp.asarray(batch['image'])
+        k, b, s = imgs.shape[:3]
+        flat = dict(batch)
+        flat['image'] = imgs.reshape(k, b * s, *imgs.shape[3:])
+        flat['pid'] = jnp.repeat(jnp.asarray(batch['pid']), s, axis=1)
+        return super().forward_backward_multi(flat)
+
     def _feature_extraction(self, loader):
         f_, pids_, camids_ = [], [], []
         for batch in loader:

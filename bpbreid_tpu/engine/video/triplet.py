@@ -23,4 +23,5 @@ class VideoTripletEngine(ImageTripletEngine):
         self.pooling_method = pooling_method
 
     forward_backward = VideoSoftmaxEngine.forward_backward
+    forward_backward_multi = VideoSoftmaxEngine.forward_backward_multi
     _feature_extraction = VideoSoftmaxEngine._feature_extraction

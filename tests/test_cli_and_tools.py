@@ -53,6 +53,7 @@ def test_cli_triplet_smoke(tmp_path):
           'model.name', 'resnet18',
           'train.batch_size', '8', 'sampler.num_instances', '4',
           'train.max_epoch', '1', 'test.batch_size', '8',
+          'train.steps_per_dispatch', '2',      # cover the fused path
           'train.eval_freq', '-1'])
 
 
@@ -71,6 +72,7 @@ def test_cli_video_smoke(tmp_path):
           'loss.name', 'softmax', 'model.name', 'resnet18',
           'train.batch_size', '4', 'sampler.num_instances', '2',
           'train.max_epoch', '1', 'test.batch_size', '4',
+          'train.steps_per_dispatch', '2',      # cover the fused path
           'train.eval_freq', '-1'])
 
 

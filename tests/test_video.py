@@ -79,6 +79,13 @@ def test_video_engine_train_and_eval(tmp_path):
     assert batch['image'].shape == (4, 3, 32, 16, 3)
     loss, summary = engine.forward_backward(batch)
     assert np.isfinite(loss)
+    # multi-step dispatch with the video tracklet flattening:
+    # [k, B, S, H, W, 3] stacks -> [k, B*S, ...] inside the scan
+    stacked = {k: np.stack([batch[k]] * 2)
+               for k in ('image', 'pid') if k in batch}
+    loss_vec, _ = engine.forward_backward_multi(stacked)
+    assert loss_vec.shape == (2,)
+    assert np.isfinite(np.asarray(loss_vec)).all()
     cmc, mAP, ssmd, _ = engine._evaluate(
         0, dataset_name='synthetic_video',
         query_loader=dm.test_loader['synthetic_video']['query'],
