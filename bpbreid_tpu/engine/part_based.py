@@ -509,6 +509,8 @@ class ImagePartBasedEngine(Engine):
         if k > 1:
             # grouped dispatch: k batches per compiled program
             # (cfg.test.batches_per_dispatch; see _eval_multi_step_impl)
+            qopts = QuantOpts.from_config(self.config.test) \
+                if int8_step is not None else None
             for group in self._eval_batch_groups(loader, k):
                 imgs = jnp.asarray(np.stack([b['image'] for b in group]))
                 masks = jnp.asarray(np.stack([b['mask'] for b in group])) \
@@ -521,8 +523,7 @@ class ImagePartBasedEngine(Engine):
                 if int8_step is not None:
                     feats, vis, corr, tot = self._eval_multi_step(
                         self.state.params, self.state.batch_stats, imgs,
-                        masks, self._quant_coll,
-                        quant_opts=QuantOpts.from_config(self.config.test))
+                        masks, self._quant_coll, quant_opts=qopts)
                 else:
                     feats, vis, corr, tot = self._eval_multi_step(
                         self.state.params, self.state.batch_stats, imgs,
