@@ -34,6 +34,12 @@ def main():
     import os.path as osp
 
     import jax
+    # honor JAX_PLATFORMS even under environments whose sitecustomize
+    # re-registers the TPU plugin after env processing (same recipe as
+    # scripts/main.py / tests/conftest.py): without this, a CPU-forced
+    # bench silently grabs the real chip
+    if os.environ.get('JAX_PLATFORMS'):
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     # persistent compile cache: the HRNet graphs take minutes to compile
     # through the tunneled backend; cache them across bench invocations.
     # Same dir as scripts/main.py and tools/bench_train.py so all three
@@ -73,7 +79,10 @@ def main():
                 return None, forward_impl(variables, im)
             _, outs = jax.lax.scan(body, None, images_k)
             return outs
-        bench_images = jnp.stack([images] * scan_k)
+        # bf16 input: the model's first op casts to bf16 anyway (same
+        # numerics) and the [k, B, 384, 128, 3] stack stays at half the
+        # f32 HBM footprint (1.2 GB at k=4, B=256)
+        bench_images = jnp.stack([images.astype(jnp.bfloat16)] * scan_k)
     else:
         batched_impl = forward_impl
         bench_images = images
@@ -130,7 +139,8 @@ def main():
     per_chip = imgs_per_sec / n_chips
     precision = 'int8' if use_int8 else 'bf16'
     print(json.dumps({
-        'metric': 'hrnet32_bpbreid_inference_384x128_' + precision,
+        'metric': '{}_bpbreid_inference_{}x{}_{}'.format(
+            args.backbone, args.height, args.width, precision),
         'value': round(per_chip, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(per_chip / 5000.0, 4),

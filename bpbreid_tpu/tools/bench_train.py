@@ -11,6 +11,7 @@ Run on the TPU chip: ``python -m bpbreid_tpu.tools.bench_train``.
 """
 import argparse
 import json
+import os
 import os.path as osp
 import time
 
@@ -29,6 +30,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import jax
+    # honor JAX_PLATFORMS under sitecustomize-forced TPU environments
+    # (same recipe as scripts/main.py / tests/conftest.py)
+    if os.environ.get('JAX_PLATFORMS'):
+        jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])
     jax.config.update('jax_compilation_cache_dir',
                       osp.expanduser('~/.cache/bpbreid_tpu_jax'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
