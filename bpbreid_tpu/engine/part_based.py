@@ -633,7 +633,7 @@ class ImagePartBasedEngine(Engine):
                   'host statistics on a subsample'
                   .format(len(q_pids), len(g_pids)))
             (cmc, mAP, distmat, body_parts_distmat, n_q_host, g_pids_host,
-             g_camids_host) = self._chunked_device_eval(
+             g_camids_host, part_rows) = self._chunked_device_eval(
                 qf, gf, q_vis_arr, g_vis_arr, q_pids, g_pids, q_camids,
                 g_camids, dist_metric, mesh)
             # host-side consumers see the first query chunk only
@@ -695,7 +695,7 @@ class ImagePartBasedEngine(Engine):
             self.display_individual_parts_ranking_performances(
                 body_parts_distmat, cmc, g_camids_host, g_pids_host, mAP,
                 q_camids_host, q_pids_host, eval_metric,
-                subsample=big_gallery)
+                precomputed_rows=part_rows if big_gallery else None)
 
         pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
             distmat, q_pids_host, g_pids_host, 'Query-gallery')
@@ -754,11 +754,14 @@ class ImagePartBasedEngine(Engine):
         Per chunk the [K, c, Ng] part-distance tensor is bounded by
         ``part_bytes_budget``; chunk CMC/mAP partials combine exactly
         (weighted by valid-query counts; padded queries get pid -1,
-        which never matches, so they drop out as invalid). Returns
-        ``(cmc, mAP, sub_distmat, sub_bp_distmat, sub_g_pids,
-        sub_g_camids)`` where the ``sub_*`` arrays are the FIRST chunk
-        over a deterministic gallery-column subsample for the host-side
-        statistics/visuals.
+        which never matches, so they drop out as invalid). When
+        ``detailed_ranking`` is on, the PER-PART CMC/mAP accumulate the
+        same way — the per-part table at distractor scale is exact, not
+        a subsample. Returns ``(cmc, mAP, sub_distmat, sub_bp_distmat,
+        n_q_host, sub_g_pids, sub_g_camids, part_rows)`` where the
+        ``sub_*`` arrays are the FIRST chunk over a deterministic
+        gallery-column subsample for the host-side statistics/visuals
+        and ``part_rows`` is ``[(mAP_p, rank1_p)] * K`` (or None).
         """
         from bpbreid_tpu.ops.ranking import cmc_map, cmc_map_counting
         nq, ngal = len(q_pids), len(g_pids)
@@ -771,6 +774,8 @@ class ImagePartBasedEngine(Engine):
 
         cmc_sum = np.zeros(max_rank, np.float64)
         map_sum, n_valid_total = 0.0, 0
+        part_r1_sum = np.zeros(k_streams, np.float64)
+        part_map_sum = np.zeros(k_streams, np.float64)
         sub = None
         sub_dist = sub_bp = None
         for start in range(0, nq, c):
@@ -815,6 +820,17 @@ class ImagePartBasedEngine(Engine):
             cmc_sum += np.asarray(cmc_c, np.float64) * nv
             map_sum += float(map_c) * nv
             n_valid_total += nv
+            if self.detailed_ranking:
+                # per-part partials: query validity is pid/camid-based,
+                # identical across parts, so the same nv weights apply
+                for p in range(k_streams):
+                    pc, pm, _pnv, pov = cmc_map_counting(
+                        bp_c[p], *args[1:], max_rank=max_rank)
+                    if int(pov):
+                        pc, pm, _pnv = cmc_map(bp_c[p], *args[1:],
+                                               max_rank=max_rank)
+                    part_r1_sum[p] += float(pc[0]) * nv
+                    part_map_sum[p] += float(pm) * nv
             if sub is None:            # host stats from the first chunk
                 sub = np.unique(np.linspace(
                     0, ngal - 1, min(20_000, ngal)).astype(np.int64))
@@ -827,24 +843,39 @@ class ImagePartBasedEngine(Engine):
                 'Error: all query identities do not appear in gallery')
         cmc = (cmc_sum / n_valid_total).astype(np.float32)
         mAP = map_sum / n_valid_total
+        part_rows = [(part_map_sum[p] / n_valid_total,
+                      part_r1_sum[p] / n_valid_total)
+                     for p in range(k_streams)] \
+            if self.detailed_ranking else None
         return (cmc, mAP, sub_dist, sub_bp, sub_dist.shape[0],
-                g_pids[sub], g_camids[sub])
+                g_pids[sub], g_camids[sub], part_rows)
 
     def display_individual_parts_ranking_performances(
             self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,
-            q_pids, eval_metric, subsample=False):
+            q_pids, eval_metric, subsample=False, precomputed_rows=None):
         """Per-part ranking table (reference: part_based_engine.py:308-339).
 
-        ``subsample=True`` marks the big-gallery case where the table is
-        computed from the first query chunk over a gallery-column
-        subsample — the header says so, mirroring the SSMD print, so
-        subsampled numbers are never presented as full-run metrics.
+        At distractor scale the table comes from ``precomputed_rows`` —
+        exact per-part CMC/mAP accumulated from the per-chunk
+        counting-ranker partials (see ``_chunked_device_eval``) — never
+        from a subsample. ``subsample=True`` remains for callers that
+        pass a subsampled distance matrix directly and marks the header,
+        mirroring the SSMD print.
         """
-        print('Parts embeddings individual rankings{} :'.format(
-            ' (first query chunk x gallery subsample)' if subsample else ''))
         from bpbreid_tpu.constants import get_test_embeddings_names
         names = get_test_embeddings_names(
             self.config.model.bpbreid.masks.parts_names, self.test_embeddings)
+        if precomputed_rows is not None:
+            print('Parts embeddings individual rankings :')
+            rows = [(names[p] if p < len(names) else 'p{}'.format(p),
+                     m * 100, r1 * 100)
+                    for p, (m, r1) in enumerate(precomputed_rows)]
+            print('{:<20} {:>8} {:>8}'.format('embedding', 'mAP', 'R-1'))
+            for name, m, r1 in rows:
+                print('{:<20} {:>8.2f} {:>8.2f}'.format(name, m, r1))
+            return rows
+        print('Parts embeddings individual rankings{} :'.format(
+            ' (first query chunk x gallery subsample)' if subsample else ''))
         rows = []
         for p in range(body_parts_distmat.shape[0]):
             try:

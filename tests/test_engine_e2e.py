@@ -333,19 +333,29 @@ def test_eval_device_ranking_path_matches_host(setup):
         compute_distance_matrix_using_bp_features)
     nq35 = 35
     assert nq35 % 16 != 0 and nq35 % 16 < 8
-    d35, _ = compute_distance_matrix_using_bp_features(
+    d35, bp35 = compute_distance_matrix_using_bp_features(
         qf[:nq35], gf, q_vis[:nq35].astype(bool), g_vis.astype(bool),
         engine.dist_combine_strat,
         engine.batch_size_pairwise_dist_matrix, metric='euclidean')
     ref35 = _metrics.evaluate_rank(
         np.asarray(d35), q_pids[:nq35], g_pids, q_camids[:nq35], g_camids)
-    cmc_p, mAP_p, *_ = engine._chunked_device_eval(
+    *head, part_rows = engine._chunked_device_eval(
         qf[:nq35], gf, q_vis[:nq35].astype(bool), g_vis.astype(bool),
         q_pids[:nq35], g_pids, q_camids[:nq35], g_camids,
         'euclidean', None, part_bytes_budget=1)
+    cmc_p, mAP_p = head[0], head[1]
     m = min(len(cmc_p), len(ref35['cmc']))
     np.testing.assert_allclose(cmc_p[:m], ref35['cmc'][:m], atol=1e-5)
     assert mAP_p == pytest.approx(ref35['mAP'], abs=1e-5)
+    # exact per-part table from accumulated per-chunk partials: must
+    # equal evaluate_rank on each full per-part distance matrix
+    assert part_rows is not None and len(part_rows) == bp35.shape[0]
+    for p, (map_p, r1_p) in enumerate(part_rows):
+        ref_p = _metrics.evaluate_rank(
+            np.asarray(bp35[p]), q_pids[:nq35], g_pids,
+            q_camids[:nq35], g_camids)
+        assert map_p == pytest.approx(ref_p['mAP'], abs=1e-5), p
+        assert r1_p == pytest.approx(ref_p['cmc'][0], abs=1e-5), p
 
 
 def test_preemption_checkpoints_and_stops(setup, tmp_path):
