@@ -633,9 +633,10 @@ class ImagePartBasedEngine(Engine):
                   'host statistics on a subsample'
                   .format(len(q_pids), len(g_pids)))
             (cmc, mAP, distmat, body_parts_distmat, n_q_host, g_pids_host,
-             g_camids_host, part_rows) = self._chunked_device_eval(
-                qf, gf, q_vis_arr, g_vis_arr, q_pids, g_pids, q_camids,
-                g_camids, dist_metric, mesh)
+             g_camids_host, part_rows, pair_stats) = \
+                self._chunked_device_eval(
+                    qf, gf, q_vis_arr, g_vis_arr, q_pids, g_pids, q_camids,
+                    g_camids, dist_metric, mesh)
             # host-side consumers see the first query chunk only
             q_pids_host = q_pids[:n_q_host]
             q_camids_host = q_camids[:n_q_host]
@@ -697,10 +698,17 @@ class ImagePartBasedEngine(Engine):
                 q_camids_host, q_pids_host, eval_metric,
                 precomputed_rows=part_rows if big_gallery else None)
 
-        pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
-            distmat, q_pids_host, g_pids_host, 'Query-gallery')
-        print('SSMD = {:.4f}{}'.format(
-            ssmd, ' (gallery subsample)' if big_gallery else ''))
+        if big_gallery and pair_stats is not None:
+            # exact full-run moments accumulated per chunk on device
+            from bpbreid_tpu.utils.distribution import compute_ssmd
+            pm, ps, nm, ns = pair_stats
+            ssmd = compute_ssmd(pm, ps, nm, ns)
+            print('SSMD = {:.4f}'.format(ssmd))
+        else:
+            pm, ps, nm, ns, ssmd = plot_pairs_distance_distribution(
+                distmat, q_pids_host, g_pids_host, 'Query-gallery')
+            print('SSMD = {:.4f}{}'.format(
+                ssmd, ' (gallery subsample)' if big_gallery else ''))
 
         if visrank and big_gallery:
             print('visrank skipped: gallery too large for ranking grids')
@@ -776,6 +784,23 @@ class ImagePartBasedEngine(Engine):
         map_sum, n_valid_total = 0.0, 0
         part_r1_sum = np.zeros(k_streams, np.float64)
         part_map_sum = np.zeros(k_streams, np.float64)
+        # exact SSMD at any scale: pos/neg pair-distance moments
+        # accumulate per chunk on device (f32 within a chunk, f64 across
+        # chunks); padded queries (pid -1) are excluded from BOTH sets
+        pair_acc = np.zeros(6, np.float64)   # pos: sum, sq, n; neg: ...
+
+        @jax.jit
+        def _pair_moments(d, qp, gp):
+            valid = (qp >= 0)[:, None]
+            same = (qp[:, None] == gp[None, :]) & valid
+            diff = (qp[:, None] != gp[None, :]) & valid
+            d32 = d.astype(jnp.float32)
+            s = same.astype(jnp.float32)
+            n = diff.astype(jnp.float32)
+            return jnp.stack([
+                jnp.sum(d32 * s), jnp.sum(d32 * d32 * s), jnp.sum(s),
+                jnp.sum(d32 * n), jnp.sum(d32 * d32 * n), jnp.sum(n)])
+
         sub = None
         sub_dist = sub_bp = None
         for start in range(0, nq, c):
@@ -812,6 +837,8 @@ class ImagePartBasedEngine(Engine):
                     metric=dist_metric)
             args = (d_c, jnp.asarray(qp_c), g_pids_d,
                     jnp.asarray(qc_c), g_camids_d)
+            pair_acc += np.asarray(
+                _pair_moments(d_c, args[1], g_pids_d), np.float64)
             cmc_c, map_c, nv_c, nover_c = cmc_map_counting(
                 *args, max_rank=max_rank)
             if int(nover_c):           # exact full-sort fallback
@@ -847,8 +874,16 @@ class ImagePartBasedEngine(Engine):
                       part_r1_sum[p] / n_valid_total)
                      for p in range(k_streams)] \
             if self.detailed_ranking else None
+        ps_, pq_, pn_, ns_, nq_, nn_ = pair_acc
+        pair_stats = None
+        if pn_ > 0 and nn_ > 0:
+            pmean, nmean = ps_ / pn_, ns_ / nn_
+            pair_stats = (pmean,
+                          float(np.sqrt(max(0.0, pq_ / pn_ - pmean ** 2))),
+                          nmean,
+                          float(np.sqrt(max(0.0, nq_ / nn_ - nmean ** 2))))
         return (cmc, mAP, sub_dist, sub_bp, sub_dist.shape[0],
-                g_pids[sub], g_camids[sub], part_rows)
+                g_pids[sub], g_camids[sub], part_rows, pair_stats)
 
     def display_individual_parts_ranking_performances(
             self, body_parts_distmat, cmc, g_camids, g_pids, mAP, q_camids,
