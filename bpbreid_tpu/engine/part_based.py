@@ -666,7 +666,8 @@ class ImagePartBasedEngine(Engine):
             del distmat_dev
         if self.writer is not None:
             self.writer.qg_pairwise_dist_statistics(
-                distmat, body_parts_distmat, q_vis_host, g_vis)
+                distmat, body_parts_distmat, q_vis_host, g_vis,
+                subsample=big_gallery)
 
         if rerank:
             from bpbreid_tpu.utils.rerank import re_ranking

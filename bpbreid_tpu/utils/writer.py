@@ -69,9 +69,10 @@ class Writer(EngineStateListener):
             pass
 
     def qg_pairwise_dist_statistics(self, pairwise_dist, bp_dist, q_vis,
-                                    g_vis):
+                                    g_vis, subsample=False):
         """Query-gallery distance / visibility statistics at eval
-        (reference: writer.py:172-186)."""
+        (reference: writer.py:172-186). ``subsample=True`` labels the
+        print when the matrices are a big-gallery subsample."""
         try:
             d = np.asarray(pairwise_dist)
             valid = d[d != -1]
@@ -88,9 +89,9 @@ class Writer(EngineStateListener):
             if self.logger is not None:
                 for k, v in stats.items():
                     self.logger.add_scalar('eval/{}'.format(k), v)
-            print('Query-gallery distance stats: mean {qg_dist_mean:.4f} '
+            print('Query-gallery distance stats{}: mean {qg_dist_mean:.4f} '
                   'std {qg_dist_std:.4f} invalid {qg_invalid_frac:.2%}'.format(
-                      **stats))
+                      ' (gallery subsample)' if subsample else '', **stats))
         except Exception:
             pass
 
