@@ -508,18 +508,37 @@ class ImagePartBasedEngine(Engine):
 
         if k > 1:
             # grouped dispatch: k batches per compiled program
-            # (cfg.test.batches_per_dispatch; see _eval_multi_step_impl)
+            # (cfg.test.batches_per_dispatch; see _eval_multi_step_impl).
+            # Stacking + H2D staging runs on a transfer thread one group
+            # ahead (same rationale as device_prefetch): the ~75 MB
+            # uint8 group copy overlaps the previous group's compute.
             qopts = QuantOpts.from_config(self.config.test) \
                 if int8_step is not None else None
-            for group in self._eval_batch_groups(loader, k):
+
+            def _stage(group):
                 imgs = jnp.asarray(np.stack([b['image'] for b in group]))
-                masks = jnp.asarray(np.stack([b['mask'] for b in group])) \
+                masks = jnp.asarray(
+                    np.stack([b['mask'] for b in group])) \
                     if 'mask' in group[0] else None
-                if msharding is not None \
-                        and imgs.shape[1] % n_dev == 0:
+                if msharding is not None and imgs.shape[1] % n_dev == 0:
                     imgs = jax.device_put(imgs, msharding)
                     if masks is not None:
                         masks = jax.device_put(masks, msharding)
+                return group, imgs, masks
+
+            def _staged_groups():
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    pending = deque()
+                    for g in self._eval_batch_groups(loader, k):
+                        pending.append(pool.submit(_stage, g))
+                        if len(pending) > 1:
+                            yield pending.popleft().result()
+                    while pending:
+                        yield pending.popleft().result()
+
+            for group, imgs, masks in _staged_groups():
                 if int8_step is not None:
                     feats, vis, corr, tot = self._eval_multi_step(
                         self.state.params, self.state.batch_stats, imgs,
