@@ -119,7 +119,11 @@ def main():
             print('int8 path failed ({}); falling back to bf16'.format(e),
                   file=sys.stderr)
             use_int8 = False
-            forward = jax.jit(batched_impl)   # fresh trace, float mode
+            # fresh CLOSURE, not just a fresh jit wrapper: if the int8
+            # executable compiled but failed at runtime, any cache keyed
+            # on the original function object could hand it back —
+            # a distinct function guarantees a float-mode retrace
+            forward = jax.jit(lambda v, x: batched_impl(v, x))
             out = forward(variables, bench_images)
     else:
         out = forward(variables, bench_images)

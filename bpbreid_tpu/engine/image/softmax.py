@@ -197,21 +197,34 @@ class ImageSoftmaxEngine(Engine):
         _, feats = jax.lax.scan(body, None, imgs_u8)
         return feats
 
+    @staticmethod
+    def _drain_group(feats, group, f_, pids_, camids_):
+        feats = np.asarray(feats)
+        for i, b in enumerate(group):
+            valid = np.asarray(b['valid'])
+            f_.append(feats[i][valid])
+            pids_.append(np.asarray(b['pid'])[valid])
+            camids_.append(np.asarray(b['camid'])[valid])
+
     def _feature_extraction(self, loader):
         from bpbreid_tpu.engine.engine import device_prefetch
         f_, pids_, camids_ = [], [], []
         k = max(1, int(getattr(self.config.test, 'batches_per_dispatch', 1)
                        or 1)) if self.config is not None else 1
         if k > 1:
+            # readback one group behind the dispatch (see
+            # part_based._feature_extraction): group i converts to host
+            # only after group i+1 is enqueued
+            pending = None
             for group in self._eval_batch_groups(loader, k):
                 imgs = jnp.asarray(np.stack([b['image'] for b in group]))
                 feats = self._eval_multi_step(
                     self.state.params, self.state.batch_stats, imgs)
-                for i, b in enumerate(group):
-                    valid = np.asarray(b['valid'])
-                    f_.append(np.asarray(feats[i])[valid])
-                    pids_.append(np.asarray(b['pid'])[valid])
-                    camids_.append(np.asarray(b['camid'])[valid])
+                if pending is not None:
+                    self._drain_group(*pending, f_, pids_, camids_)
+                pending = (feats, group)
+            if pending is not None:
+                self._drain_group(*pending, f_, pids_, camids_)
         else:
             for batch in device_prefetch(loader):
                 feats = self._eval_step(self.state.params,

@@ -443,6 +443,11 @@ class ImagePartBasedEngine(Engine):
                                      'int8_calib_batches', 4)))
         pct = float(getattr(self.config.test, 'int8_calib_percentile', 99.9))
         quant_coll = None
+        # one explicit jit wrapper: the first batch traces with
+        # quant_coll=None (creates the collection), later batches
+        # retrace once for the dict structure and then hit the cache —
+        # never one full-graph compile per calibration batch
+        calibrate_jit = jax.jit(calibrate)
         with int8_calibration(percentile=pct):
             for i, batch in enumerate(loader):
                 if i >= n_calib:
@@ -450,9 +455,7 @@ class ImagePartBasedEngine(Engine):
                 imgs = jnp.asarray(batch['image'])
                 masks = jnp.asarray(batch['mask']) \
                     if 'mask' in batch else None
-                # re-jit per structure change: first batch creates the
-                # quant collection, later batches thread it through
-                quant_coll = jax.jit(calibrate)(
+                quant_coll = calibrate_jit(
                     self.state.params, self.state.batch_stats,
                     quant_coll, imgs, masks)
         return quant_coll
@@ -467,8 +470,11 @@ class ImagePartBasedEngine(Engine):
             self._quant_coll = self._calibrate_int8(loader)
         # rebuilt every eval so cfg.test.int8_* changes take effect: the
         # knobs travel as a static jit arg of _eval_step (QuantOpts), so
-        # a changed knob — not the contextvars — forces the retrace
-        opts = QuantOpts.from_config(self.config.test)
+        # a changed knob — not the contextvars — forces the retrace.
+        # Stashed on self so the grouped path uses the SAME opts object
+        # (one source of truth for which quantization graph runs).
+        opts = self._active_quant_opts = QuantOpts.from_config(
+            self.config.test)
 
         def int8_step(params, batch_stats, imgs, masks, quant):
             return self._eval_step(params, batch_stats, imgs, masks,
@@ -512,7 +518,7 @@ class ImagePartBasedEngine(Engine):
             # Stacking + H2D staging runs on a transfer thread one group
             # ahead (same rationale as device_prefetch): the ~75 MB
             # uint8 group copy overlaps the previous group's compute.
-            qopts = QuantOpts.from_config(self.config.test) \
+            qopts = self._active_quant_opts \
                 if int8_step is not None else None
 
             def _stage(group):

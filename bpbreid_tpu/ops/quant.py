@@ -78,7 +78,10 @@ _MODE = contextvars.ContextVar('bpbreid_quant_mode', default='off')
 _CALIB_PCT = contextvars.ContextVar('bpbreid_quant_calib_pct', default=100.0)
 # mixed-precision controls, read at trace time like _MODE:
 _SKIP = contextvars.ContextVar('bpbreid_quant_skip', default=())
-_SHARED = contextvars.ContextVar('bpbreid_quant_shared', default=True)
+# default False: matches QuantOpts.shared / cfg.test.int8_shared_points,
+# so a bare `with int8_inference():` quantizes exactly like the
+# config-driven engine path (per-conv scales, float residual adds)
+_SHARED = contextvars.ContextVar('bpbreid_quant_shared', default=False)
 _ACT_GRAN = contextvars.ContextVar('bpbreid_quant_act_gran',
                                    default='per_channel')
 
@@ -111,12 +114,14 @@ def int8_inference(enabled=True, skip_patterns=None, shared=None,
             (``'/'.join(module.path)``) to keep in FLOAT — e.g.
             ``('incre_modules',)`` keeps the HRNet feature heads exact
             while the trunk runs int8.
-        shared: False disables the module-level shared quantization
-            points (``calibrated_quant``): every conv then quantizes its
-            own input with its own calibrated scale and — critically —
+        shared: False (the default, matching cfg.test.int8_shared_points)
+            disables the module-level shared quantization points
+            (``calibrated_quant``): every conv then quantizes its own
+            input with its own calibrated scale and — critically —
             residual/identity adds consume the exact FLOAT tensor
             instead of a dequantized int8 copy, so quantization error
-            does not accumulate along the residual trunk.
+            does not accumulate along the residual trunk. True shares
+            one int8 copy per block input (faster, measurable mAP cost).
         act_granularity: 'per_channel' (default) or 'per_tensor'
             activation scales (per-tensor reduces the stored
             per-channel amax with a max at use time).

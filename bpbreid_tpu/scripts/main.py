@@ -7,7 +7,6 @@ reload + diff display) -> datamanager -> model -> optimizer/scheduler ->
 engine -> ``engine.run``.
 """
 import argparse
-import math
 import os
 import os.path as osp
 import random
@@ -230,6 +229,11 @@ def maybe_distribute_engine(engine, cfg):
               .format(cfg.train.n_devices, avail, avail))
         n = avail
     if cfg.train.batch_size % n:
+        # largest divisor of batch_size that fits the available devices
+        # (NOT gcd: batch 100 on 8 devices should use 5 chips, not
+        # gcd(100, 8) = 4; batch 9 on 8 devices should use 3, not 1)
+        best = max(d for d in range(1, n + 1)
+                   if cfg.train.batch_size % d == 0)
         if requested:
             # fail loudly rather than silently training single-device:
             # a user asking for n devices must either get them or fix
@@ -239,14 +243,13 @@ def maybe_distribute_engine(engine, cfg):
                 'mesh; set train.batch_size to a multiple of {} (or '
                 'train.n_devices to a divisor of the batch size, e.g. '
                 'n_devices={})'.format(
-                    cfg.train.batch_size, n, n,
-                    math.gcd(cfg.train.batch_size, n)))
+                    cfg.train.batch_size, n, n, best))
         # auto-detected device count: shrink the mesh to the largest
-        # batch divisor instead of quietly dropping parallelism
-        n = math.gcd(cfg.train.batch_size, n)
+        # usable divisor instead of quietly dropping parallelism
+        n = best
         if n <= 1:
-            print('auto mesh: batch_size {} shares no divisor with the '
-                  '{} visible devices; single-device'.format(
+            print('auto mesh: batch_size {} shares no divisor >1 with '
+                  'the {} visible devices; single-device'.format(
                       cfg.train.batch_size, avail))
             return None
         print('auto mesh: batch_size {} -> using {} of {} visible '

@@ -110,8 +110,10 @@ def test_mesh_rejects_non_divisible_batch(tmp_path):
     cfg.train.batch_size = 100
     with pytest.raises(ValueError, match='not divisible'):
         maybe_distribute_engine(DummyEngine(), cfg)
-    # the message tells the user a working device count
-    with pytest.raises(ValueError, match='n_devices=4'):
+    # the message suggests the BEST working device count: the largest
+    # divisor of the batch size that fits the mesh (5 for batch 100 on
+    # 8 devices — not gcd(100, 8) = 4)
+    with pytest.raises(ValueError, match='n_devices=5'):
         maybe_distribute_engine(DummyEngine(), cfg)
     # (the divisible-batch success path is covered end-to-end by
     # test_cli_mesh_data_parallel)
