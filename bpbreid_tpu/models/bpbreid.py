@@ -390,7 +390,16 @@ class BPBreID(nn.Module):
                 target = ext[..., 1:].max(axis=-1) > ext[..., 0]
                 background_masks = (~target).astype(parts_masks.dtype)
                 parts_masks = jnp.where(target[..., None], parts_masks, 1e-12)
+                # reference parity: the torch in-place write
+                # `parts_masks[bck] = 1e-12` (bpbreid.py:169) mutates a
+                # VIEW of pixels_parts_probabilities, so the visibility
+                # argmax/amax below sees the floored parts channels with
+                # the original background channel
+                probs = jnp.concatenate([probs[..., :1], parts_masks],
+                                        axis=-1)
             elif self.test_use_target_segmentation == 'soft':
+                # out-of-place in the reference (rebind, no view write):
+                # visibility keeps the unrefined probabilities
                 parts_masks = parts_masks * ext[..., 1:]
 
         foreground_masks = parts_masks.max(axis=-1)       # [N, Hf, Wf]

@@ -207,6 +207,80 @@ def test_full_bpbreid_parity_with_reference():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize('mode', ['soft', 'hard'])
+def test_target_segmentation_parity_with_reference(mode):
+    """Test-time external-mask refinement (reference bpbreid.py:160-175):
+    'hard' replaces the background mask with the external foreground
+    decision and floors parts to 1e-12 outside it; 'soft' multiplies the
+    learned part attention by the external part masks. Same weights and
+    inputs as the reference torch model -> same embeddings/visibility."""
+    import torch
+    _install_torchreid_stub()
+    spec = importlib.util.spec_from_file_location(
+        'ref_bpbreid_ts', '/root/reference/torchreid/models/bpbreid.py')
+    ref_bpbreid = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_bpbreid)
+
+    model_cfg = _AttrDict(
+        masks=_AttrDict(parts_num=4),
+        shared_parts_id_classifier=False,
+        test_use_target_segmentation=mode,
+        training_binary_visibility_score=True,
+        testing_binary_visibility_score=True,
+        backbone='resnet50',
+        last_stride=1,
+        dim_reduce='after_pooling',
+        dim_reduce_output=64,
+        hrnet_pretrained_path='',
+        normalization='identity',
+        pooling='gwap',
+        learnable_attention_enabled=True,
+    )
+    torch.manual_seed(0)
+    ref = ref_bpbreid.BPBreID(num_classes=10, pretrained=False,
+                              loss='part_based', model_cfg=model_cfg)
+    g = torch.Generator().manual_seed(1)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.copy_(
+                torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(
+                torch.rand(m.running_var.shape, generator=g) + 0.5)
+    ref.eval()
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 3, 64, 32)).astype(np.float32)
+    # external masks: K+1 channels in [0, 1] at input resolution
+    ext = rng.uniform(size=(2, 5, 64, 32)).astype(np.float32)
+    with torch.no_grad():
+        r_emb, r_vis, *_ = ref(torch.from_numpy(x),
+                               external_parts_masks=torch.from_numpy(ext))
+
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.utils.torch_weights import torch_to_flax
+    model = BPBreID(num_classes=10, parts_num=4, backbone='resnet50',
+                    last_stride=1, dim_reduce='after_pooling',
+                    dim_reduce_output=64,
+                    test_use_target_segmentation=mode)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
+                           jnp.full((1, 16, 8, 5), 0.2), train=False)
+    new_vars, matched, discarded = torch_to_flax(ref.state_dict(), variables)
+    assert not discarded, discarded[:10]
+
+    emb, vis, *_ = model.apply(
+        new_vars, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(ext, (0, 2, 3, 1))), train=False)
+    for key in (GLOBAL, FOREGROUND, BACKGROUND, CONCAT_PARTS, PARTS):
+        np.testing.assert_allclose(
+            np.asarray(emb[key]), r_emb[key].numpy(), atol=5e-3, rtol=5e-3,
+            err_msg='{} embeddings[{}]'.format(mode, key))
+        np.testing.assert_allclose(
+            np.asarray(vis[key]).astype(np.float32),
+            r_vis[key].numpy().astype(np.float32), atol=1e-5,
+            err_msg='{} visibility[{}]'.format(mode, key))
+
+
+@pytest.mark.slow
 def test_multires_pooling_matches_materialized():
     """The HRNet inference fast path (pool each branch at native
     resolution with transpose-resized masks, skip the 1920-ch concat)
