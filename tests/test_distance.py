@@ -100,6 +100,31 @@ def test_bp_distance_continuous_visibility():
     np.testing.assert_allclose(np.asarray(dist), expected, atol=2e-2)
 
 
+def test_bp_distance_max_combine_oracle():
+    """dist_combine_strat='max' vs a literal transcription of the
+    reference's max path (distance.py:151-154,173-177): invalid pairs
+    -> -1, max over the parts axis, then the global -1 -> max+1
+    replacement."""
+    rng = np.random.default_rng(7)
+    qf = rng.random((4, 3, 6)).astype(np.float32)
+    gf = rng.random((5, 3, 6)).astype(np.float32)
+    q_vis = rng.random((4, 3)) > 0.3
+    g_vis = rng.random((5, 3)) > 0.3
+    q_vis[2] = False                       # an all-invisible query row
+    dist, part_dist = compute_distance_matrix_using_bp_features(
+        qf, gf, q_vis, g_vis, dist_combine_strat='max')
+    ref = _np_part_dist(qf, gf)            # [K, Nq, Ng]
+    valid = q_vis.T[:, :, None] & g_vis.T[:, None, :]
+    ref_masked = np.where(valid, ref, -1.0)
+    combined = ref_masked.max(axis=0)
+    max_value = ref_masked.max() + 1
+    expected = np.where(combined == -1.0, max_value, combined)
+    expected_parts = np.where(ref_masked == -1.0, max_value, ref_masked)
+    np.testing.assert_allclose(np.asarray(dist), expected, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(part_dist), expected_parts,
+                               atol=2e-2)
+
+
 def test_bp_distance_chunked_equals_fused():
     rng = np.random.default_rng(3)
     qf = rng.random((4, 3, 8)).astype(np.float32)
