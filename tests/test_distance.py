@@ -100,6 +100,29 @@ def test_bp_distance_continuous_visibility():
     np.testing.assert_allclose(np.asarray(dist), expected, atol=2e-2)
 
 
+def test_bp_distance_cosine_metric_oracle():
+    """metric='cosine' through the part-based path: the reference's
+    cosine branch is ``1 - qf @ gf.T`` on the RAW features — callers
+    are expected to pass L2-normalized embeddings (engine
+    normalize_feature), there is no in-kernel normalization
+    (reference distance.py:237-239)."""
+    rng = np.random.default_rng(9)
+    qf = rng.random((3, 2, 5)).astype(np.float32)
+    gf = rng.random((4, 2, 5)).astype(np.float32)
+    qf /= np.linalg.norm(qf, axis=-1, keepdims=True)
+    gf /= np.linalg.norm(gf, axis=-1, keepdims=True)
+    q_vis = np.ones((3, 2), bool)
+    g_vis = np.ones((4, 2), bool)
+    dist, part_dist = compute_distance_matrix_using_bp_features(
+        qf, gf, q_vis, g_vis, metric='cosine')
+    ref = np.zeros((2, 3, 4))
+    for p in range(2):
+        ref[p] = 1.0 - qf[:, p] @ gf[:, p].T
+    np.testing.assert_allclose(np.asarray(part_dist), ref, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(dist), ref.mean(axis=0),
+                               atol=2e-2)
+
+
 def test_bp_distance_max_combine_oracle():
     """dist_combine_strat='max' vs a literal transcription of the
     reference's max path (distance.py:151-154,173-177): invalid pairs
