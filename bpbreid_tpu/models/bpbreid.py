@@ -264,6 +264,14 @@ class BPBreID(nn.Module):
     def setup(self):
         # attribute name == torch state_dict prefix (flax scopes by
         # attribute name for modules assigned in setup)
+        if self.normalization != 'identity':
+            # the reference marks the option obsolete ("always use
+            # identity", default_config.py:46); fail loudly rather than
+            # silently ignoring a requested pooling normalization
+            raise NotImplementedError(
+                "pooling normalization '{}' is not supported (the "
+                "reference marks it obsolete; use 'identity')".format(
+                    self.normalization))
         backbone_kwargs = {}
         self._multires = (
             self.multires_pooling and self.backbone == 'hrnet32'
