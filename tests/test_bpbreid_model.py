@@ -139,6 +139,23 @@ class _AttrDict(dict):
 
 def test_full_bpbreid_parity_with_reference():
     """End-to-end head parity: same weights, same input, eval mode."""
+    _run_full_parity('after_pooling')
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('dim_reduce', ['none', 'before_pooling',
+                                        'before_and_after_pooling'])
+def test_full_bpbreid_parity_dim_reduce_variants(dim_reduce):
+    """Every runnable reference dim_reduce wiring (bpbreid.py:84-114)
+    against the torch model with converted weights.
+    'after_pooling_with_dropout' is excluded: the REFERENCE itself
+    crashes there (`nn.opout`, a mangled nn.Dropout at bpbreid.py:337 —
+    AttributeError on construction), so there is nothing to compare
+    against; our implementation wires a real eval-inactive Dropout."""
+    _run_full_parity(dim_reduce)
+
+
+def _run_full_parity(dim_reduce):
     import torch
     _install_torchreid_stub()
     spec = importlib.util.spec_from_file_location(
@@ -154,7 +171,7 @@ def test_full_bpbreid_parity_with_reference():
         testing_binary_visibility_score=True,
         backbone='resnet50',
         last_stride=1,
-        dim_reduce='after_pooling',
+        dim_reduce=dim_reduce,
         dim_reduce_output=64,
         hrnet_pretrained_path='',
         normalization='identity',
@@ -181,7 +198,7 @@ def test_full_bpbreid_parity_with_reference():
     from bpbreid_tpu.models.bpbreid import BPBreID
     from bpbreid_tpu.utils.torch_weights import torch_to_flax
     model = BPBreID(num_classes=10, parts_num=4, backbone='resnet50',
-                    last_stride=1, dim_reduce='after_pooling',
+                    last_stride=1, dim_reduce=dim_reduce,
                     dim_reduce_output=64)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
                            train=False)
