@@ -155,7 +155,16 @@ def test_full_bpbreid_parity_dim_reduce_variants(dim_reduce):
     _run_full_parity(dim_reduce)
 
 
-def _run_full_parity(dim_reduce):
+@pytest.mark.slow
+@pytest.mark.parametrize('pooling', ['gap', 'gmp'])
+def test_full_bpbreid_parity_pooling_variants(pooling):
+    """GlobalAverage/GlobalMax attention-pooling heads
+    (reference bpbreid.py:432-503) through the full-model parity
+    harness with converted weights."""
+    _run_full_parity('after_pooling', pooling=pooling)
+
+
+def _run_full_parity(dim_reduce, pooling='gwap'):
     import torch
     _install_torchreid_stub()
     spec = importlib.util.spec_from_file_location(
@@ -175,7 +184,7 @@ def _run_full_parity(dim_reduce):
         dim_reduce_output=64,
         hrnet_pretrained_path='',
         normalization='identity',
-        pooling='gwap',
+        pooling=pooling,
         learnable_attention_enabled=True,
     )
     torch.manual_seed(0)
@@ -198,7 +207,7 @@ def _run_full_parity(dim_reduce):
     from bpbreid_tpu.models.bpbreid import BPBreID
     from bpbreid_tpu.utils.torch_weights import torch_to_flax
     model = BPBreID(num_classes=10, parts_num=4, backbone='resnet50',
-                    last_stride=1, dim_reduce=dim_reduce,
+                    last_stride=1, dim_reduce=dim_reduce, pooling=pooling,
                     dim_reduce_output=64)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
                            train=False)
