@@ -164,7 +164,15 @@ def test_full_bpbreid_parity_pooling_variants(pooling):
     _run_full_parity('after_pooling', pooling=pooling)
 
 
-def _run_full_parity(dim_reduce, pooling='gwap'):
+@pytest.mark.slow
+def test_full_bpbreid_parity_shared_parts_classifier():
+    """shared_parts_id_classifier=True: one BNClassifier reused across
+    every part branch (reference bpbreid.py:72-75, 272-275)."""
+    _run_full_parity('after_pooling', shared_parts_id_classifier=True)
+
+
+def _run_full_parity(dim_reduce, pooling='gwap',
+                     shared_parts_id_classifier=False):
     import torch
     _install_torchreid_stub()
     spec = importlib.util.spec_from_file_location(
@@ -174,7 +182,7 @@ def _run_full_parity(dim_reduce, pooling='gwap'):
 
     model_cfg = _AttrDict(
         masks=_AttrDict(parts_num=4),
-        shared_parts_id_classifier=False,
+        shared_parts_id_classifier=shared_parts_id_classifier,
         test_use_target_segmentation='none',
         training_binary_visibility_score=True,
         testing_binary_visibility_score=True,
@@ -208,6 +216,7 @@ def _run_full_parity(dim_reduce, pooling='gwap'):
     from bpbreid_tpu.utils.torch_weights import torch_to_flax
     model = BPBreID(num_classes=10, parts_num=4, backbone='resnet50',
                     last_stride=1, dim_reduce=dim_reduce, pooling=pooling,
+                    shared_parts_id_classifier=shared_parts_id_classifier,
                     dim_reduce_output=64)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)),
                            train=False)
