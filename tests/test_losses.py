@@ -211,3 +211,115 @@ def test_bpa_focal_and_dice_run():
         loss, _ = BodyPartAttentionLoss(loss_type=lt)(logits, targets)
         assert np.isfinite(float(loss))
         assert float(loss) >= 0
+
+
+# ---------------------------------------------------------------------------
+# Direct parity with the REFERENCE loss modules (loaded standalone with a
+# stubbed torchreid package), same inputs -> same loss and triplet ratios.
+# ---------------------------------------------------------------------------
+def _load_reference_triplet_losses():
+    import importlib.util
+    import sys
+    import types
+
+    if 'torchreid' not in sys.modules:
+        sys.modules['torchreid'] = types.ModuleType('torchreid')
+    if 'torchreid.utils' not in sys.modules:
+        sys.modules['torchreid.utils'] = types.ModuleType('torchreid.utils')
+    if 'torchreid.utils.tensortools' not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            'torchreid.utils.tensortools',
+            '/root/reference/torchreid/utils/tensortools.py')
+        m = importlib.util.module_from_spec(spec)
+        sys.modules['torchreid.utils.tensortools'] = m
+        spec.loader.exec_module(m)
+    if 'torchreid.losses' not in sys.modules:
+        sys.modules['torchreid.losses'] = types.ModuleType('torchreid.losses')
+
+    def load(name):
+        full = 'torchreid.losses.' + name
+        if full in sys.modules:
+            return sys.modules[full]
+        spec = importlib.util.spec_from_file_location(
+            full, '/root/reference/torchreid/losses/{}.py'.format(name))
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[full] = m
+        spec.loader.exec_module(m)
+        return m
+
+    base = load('part_averaged_triplet_loss')
+    return {
+        'part_averaged': base.PartAveragedTripletLoss,
+        'part_max': load('part_max_triplet_loss').PartMaxTripletLoss,
+        'part_min': load('part_min_triplet_loss').PartMinTripletLoss,
+        'part_max_min':
+            load('part_max_min_triplet_loss').PartMaxMinTripletLoss,
+        'intra_parts':
+            load('part_individual_triplet_loss').PartIndividualTripletLoss,
+    }
+
+
+class _NullWriter:
+    def __getattr__(self, name):
+        return lambda *a, **k: None
+
+
+_MY_TRIPLETS = {
+    'part_averaged': PartAveragedTripletLoss,
+    'part_max': PartMaxTripletLoss,
+    'part_min': PartMinTripletLoss,
+    'part_max_min': PartMaxMinTripletLoss,
+    'intra_parts': PartIndividualTripletLoss,
+}
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('vis', ['none', 'bool', 'continuous'])
+@pytest.mark.parametrize('name', sorted(_MY_TRIPLETS))
+def test_triplet_variant_parity_with_reference(name, vis):
+    """Every deterministic part-triplet variant vs the reference module
+    (part_averaged_triplet_loss.py and subclasses) on identical inputs:
+    loss, trivial-triplet ratio, and valid-triplet ratio must match.
+    'part_random_max_min' is excluded (torch-RNG part dropout cannot be
+    reproduced); 'inter_parts' is excluded (its reference flatten order
+    disagrees with its own target layout — covered by local goldens).
+    Continuous visibility only runs for 'part_averaged': the REFERENCE
+    itself crashes on it in every other variant (`~float_mask` raises
+    TypeError in e.g. part_max_triplet_loss.py:14 — the max/min
+    combines only support boolean visibility); ours handles the float
+    case (locally golden-tested) — a capability the reference lacks."""
+    import torch
+    if vis == 'continuous' and name != 'part_averaged':
+        pytest.skip('reference crashes: ~ on float visibility mask '
+                    '(continuous visibility unsupported outside '
+                    'part_averaged)')
+    refs = _load_reference_triplet_losses()
+    rng = np.random.default_rng(hash(name + vis) % (2 ** 31))
+    n_ids, n_inst, k, d = 4, 4, 3, 8
+    n = n_ids * n_inst
+    emb = rng.normal(size=(n, k, d)).astype(np.float32)
+    labels = np.repeat(np.arange(n_ids), n_inst).astype(np.int64)
+    if vis == 'none':
+        visibility = None
+    elif vis == 'bool':
+        visibility = rng.random((n, k)) > 0.3
+        visibility[0] = False          # a sample with nothing visible
+    else:
+        visibility = rng.random((n, k)).astype(np.float32)
+
+    ref = refs[name](margin=0.3, writer=_NullWriter())
+    t_vis = None if visibility is None else torch.from_numpy(
+        np.asarray(visibility))
+    with torch.no_grad():
+        r_loss, r_trivial, r_valid = ref(
+            torch.from_numpy(emb), torch.from_numpy(labels),
+            parts_visibility=t_vis)
+
+    mine = _MY_TRIPLETS[name](margin=0.3)
+    m_loss, m_trivial, m_valid = mine(
+        jnp.asarray(emb), jnp.asarray(labels),
+        None if visibility is None else jnp.asarray(visibility))
+
+    assert float(m_loss) == pytest.approx(float(r_loss), abs=1e-4), name
+    assert float(m_trivial) == pytest.approx(float(r_trivial), abs=1e-5)
+    assert float(m_valid) == pytest.approx(float(r_valid), abs=1e-5)
