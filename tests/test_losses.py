@@ -323,3 +323,114 @@ def test_triplet_variant_parity_with_reference(name, vis):
     assert float(m_loss) == pytest.approx(float(r_loss), abs=1e-4), name
     assert float(m_trivial) == pytest.approx(float(r_trivial), abs=1e-5)
     assert float(m_valid) == pytest.approx(float(r_valid), abs=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('use_vis', [False, True])
+def test_gilt_parity_with_reference(use_vis):
+    """GiLt head loss vs the reference GiLt_loss.py on identical inputs
+    (default weights + a variant with triplet on holistic streams):
+    total loss and every per-stream diagnostic must match. torchmetrics
+    (absent here) is stubbed with an equivalent top-1 Accuracy."""
+    import importlib.util
+    import sys
+    import types
+
+    import torch
+    _load_reference_triplet_losses()        # installs torchreid.losses
+
+    if 'torchmetrics' not in sys.modules:
+        tm = types.ModuleType('torchmetrics')
+
+        class _Acc:
+            def __init__(self, top_k=1):
+                assert top_k == 1
+
+            def __call__(self, scores, target):
+                return (scores.argmax(-1) == target).float().mean()
+
+        tm.Accuracy = _Acc
+        sys.modules['torchmetrics'] = tm
+
+    losses_pkg = sys.modules['torchreid.losses']
+    if not hasattr(losses_pkg, 'init_part_based_triplet_loss'):
+        spec = importlib.util.spec_from_file_location(
+            'torchreid.losses.cross_entropy_loss',
+            '/root/reference/torchreid/losses/cross_entropy_loss.py')
+        ce_mod = importlib.util.module_from_spec(spec)
+        sys.modules['torchreid.losses.cross_entropy_loss'] = ce_mod
+        spec.loader.exec_module(ce_mod)
+        losses_pkg.CrossEntropyLoss = ce_mod.CrossEntropyLoss
+        base = sys.modules['torchreid.losses.part_averaged_triplet_loss']
+        losses_pkg.init_part_based_triplet_loss = \
+            lambda name, **kw: base.PartAveragedTripletLoss(
+                **{**kw, 'writer': kw.get('writer') or _NullWriter()})
+    if 'torchreid.utils.constants' not in sys.modules:
+        consts = types.ModuleType('torchreid.utils.constants')
+        import bpbreid_tpu.constants as my_constants
+        for k in dir(my_constants):
+            if not k.startswith('_'):
+                setattr(consts, k, getattr(my_constants, k))
+        sys.modules['torchreid.utils.constants'] = consts
+        sys.modules['torchreid.utils'].constants = consts
+
+    spec = importlib.util.spec_from_file_location(
+        'torchreid.losses.GiLt_loss',
+        '/root/reference/torchreid/losses/GiLt_loss.py')
+    gilt_mod = importlib.util.module_from_spec(spec)
+    sys.modules['torchreid.losses.GiLt_loss'] = gilt_mod
+    spec.loader.exec_module(gilt_mod)
+
+    rng = np.random.default_rng(11 + use_vis)
+    n_ids, n_inst, k, d, c = 4, 4, 3, 8, 10
+    n = n_ids * n_inst
+    pids = np.repeat(np.arange(n_ids), n_inst).astype(np.int64)
+    emb = {
+        GLOBAL: rng.normal(size=(n, d)).astype(np.float32),
+        FOREGROUND: rng.normal(size=(n, d)).astype(np.float32),
+        CONCAT_PARTS: rng.normal(size=(n, k * d)).astype(np.float32),
+        PARTS: rng.normal(size=(n, k, d)).astype(np.float32),
+    }
+    vis = {
+        GLOBAL: np.ones(n, bool),
+        FOREGROUND: rng.random(n) > 0.2,
+        CONCAT_PARTS: rng.random(n) > 0.2,
+        PARTS: rng.random((n, k)) > 0.3,
+    }
+    cls = {
+        GLOBAL: rng.normal(size=(n, c)).astype(np.float32),
+        FOREGROUND: rng.normal(size=(n, c)).astype(np.float32),
+        CONCAT_PARTS: rng.normal(size=(n, c)).astype(np.float32),
+        PARTS: rng.normal(size=(n, k, c)).astype(np.float32),
+    }
+    # exercise id loss on parts AND triplet on a holistic stream too
+    weights = {
+        GLOBAL: {'id': 1., 'tr': 0.5},
+        FOREGROUND: {'id': 1., 'tr': 0.},
+        CONCAT_PARTS: {'id': 1., 'tr': 0.},
+        PARTS: {'id': 0.5, 'tr': 1.},
+    }
+
+    ref = gilt_mod.GiLtLoss(losses_weights=weights,
+                            use_visibility_scores=use_vis,
+                            triplet_margin=0.3)
+    with torch.no_grad():
+        r_loss, r_summary = ref(
+            {k2: torch.from_numpy(v) for k2, v in emb.items()},
+            {k2: torch.from_numpy(np.asarray(v)) for k2, v in vis.items()},
+            {k2: torch.from_numpy(v) for k2, v in cls.items()},
+            torch.from_numpy(pids))
+
+    mine = GiLtLoss(losses_weights=weights, use_visibility_scores=use_vis,
+                    triplet_margin=0.3)
+    m_loss, m_summary = mine(
+        {k2: jnp.asarray(v) for k2, v in emb.items()},
+        {k2: jnp.asarray(v) for k2, v in vis.items()},
+        {k2: jnp.asarray(v) for k2, v in cls.items()},
+        jnp.asarray(pids))
+
+    assert float(m_loss) == pytest.approx(float(r_loss), abs=2e-4)
+    for stream, info in r_summary.items():
+        for key2, val in info.items():
+            assert float(m_summary[stream][key2]) == pytest.approx(
+                float(val), abs=2e-4), (stream, key2)
