@@ -326,7 +326,7 @@ def test_triplet_variant_parity_with_reference(name, vis):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize('use_vis', [False, True])
+@pytest.mark.parametrize('use_vis', [False, True, 'continuous'])
 def test_gilt_parity_with_reference(use_vis):
     """GiLt head loss vs the reference GiLt_loss.py on identical inputs
     (default weights + a variant with triplet on holistic streams):
@@ -381,7 +381,7 @@ def test_gilt_parity_with_reference(use_vis):
     sys.modules['torchreid.losses.GiLt_loss'] = gilt_mod
     spec.loader.exec_module(gilt_mod)
 
-    rng = np.random.default_rng(11 + use_vis)
+    rng = np.random.default_rng(11 + hash(str(use_vis)) % 97)
     n_ids, n_inst, k, d, c = 4, 4, 3, 8, 10
     n = n_ids * n_inst
     pids = np.repeat(np.arange(n_ids), n_inst).astype(np.int64)
@@ -391,12 +391,22 @@ def test_gilt_parity_with_reference(use_vis):
         CONCAT_PARTS: rng.normal(size=(n, k * d)).astype(np.float32),
         PARTS: rng.normal(size=(n, k, d)).astype(np.float32),
     }
-    vis = {
-        GLOBAL: np.ones(n, bool),
-        FOREGROUND: rng.random(n) > 0.2,
-        CONCAT_PARTS: rng.random(n) > 0.2,
-        PARTS: rng.random((n, k)) > 0.3,
-    }
+    if use_vis == 'continuous':
+        # float visibility: CE becomes weighted, triplet uses sqrt
+        # geometric-mean pair weights (reference GiLt_loss.py:113-118)
+        vis = {
+            GLOBAL: np.ones(n, np.float32),
+            FOREGROUND: rng.random(n).astype(np.float32),
+            CONCAT_PARTS: rng.random(n).astype(np.float32),
+            PARTS: rng.random((n, k)).astype(np.float32),
+        }
+    else:
+        vis = {
+            GLOBAL: np.ones(n, bool),
+            FOREGROUND: rng.random(n) > 0.2,
+            CONCAT_PARTS: rng.random(n) > 0.2,
+            PARTS: rng.random((n, k)) > 0.3,
+        }
     cls = {
         GLOBAL: rng.normal(size=(n, c)).astype(np.float32),
         FOREGROUND: rng.normal(size=(n, c)).astype(np.float32),
@@ -412,7 +422,7 @@ def test_gilt_parity_with_reference(use_vis):
     }
 
     ref = gilt_mod.GiLtLoss(losses_weights=weights,
-                            use_visibility_scores=use_vis,
+                            use_visibility_scores=bool(use_vis),
                             triplet_margin=0.3)
     with torch.no_grad():
         r_loss, r_summary = ref(
@@ -421,7 +431,8 @@ def test_gilt_parity_with_reference(use_vis):
             {k2: torch.from_numpy(v) for k2, v in cls.items()},
             torch.from_numpy(pids))
 
-    mine = GiLtLoss(losses_weights=weights, use_visibility_scores=use_vis,
+    mine = GiLtLoss(losses_weights=weights,
+                    use_visibility_scores=bool(use_vis),
                     triplet_margin=0.3)
     m_loss, m_summary = mine(
         {k2: jnp.asarray(v) for k2, v in emb.items()},
