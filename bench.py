@@ -58,8 +58,9 @@ def main():
                     dim_reduce_output=512, dtype=jnp.bfloat16,
                     use_pallas_pooling=args.pallas_pooling)
     rng = jax.random.PRNGKey(0)
+    batch_size = args.batch_size
     images = jax.random.normal(
-        rng, (args.batch_size, args.height, args.width, 3), jnp.float32)
+        rng, (batch_size, args.height, args.width, 3), jnp.float32)
     variables = model.init(rng, images[:2], train=False)
 
     def forward_impl(variables, images):
@@ -72,22 +73,27 @@ def main():
     # batches so the host->device dispatch round trip — a large fixed
     # cost through a tunneled/remote TPU backend — is paid once per
     # k*B images instead of once per B. Per-image math is identical.
-    scan_k = max(1, args.scan_batches)
-    if scan_k > 1:
-        def batched_impl(variables, images_k):
-            def body(_, im):
-                return None, forward_impl(variables, im)
-            _, outs = jax.lax.scan(body, None, images_k)
-            return outs
-        # bf16 input: the model's first op casts to bf16 anyway (same
-        # numerics) and the [k, B, 384, 128, 3] stack stays at half the
-        # f32 HBM footprint (1.2 GB at k=4, B=256)
-        bench_images = jnp.stack([images.astype(jnp.bfloat16)] * scan_k)
-    else:
-        batched_impl = forward_impl
-        bench_images = images
+    def build_forward(scan_k):
+        if scan_k > 1:
+            def batched_impl(variables, images_k):
+                def body(_, im):
+                    return None, forward_impl(variables, im)
+                _, outs = jax.lax.scan(body, None, images_k)
+                return outs
+            # bf16 input: the model's first op casts to bf16 anyway (same
+            # numerics) and the [k, B, 384, 128, 3] stack stays at half
+            # the f32 HBM footprint (1.2 GB at k=4, B=256)
+            bench_images = jnp.stack([images.astype(jnp.bfloat16)] * scan_k)
+        else:
+            # fresh closure per build (not forward_impl itself) so a
+            # fallback retrace can never be served a poisoned executable
+            def batched_impl(variables, images_b):
+                return forward_impl(variables, images_b)
+            bench_images = images
+        return jax.jit(batched_impl), bench_images
 
-    forward = jax.jit(batched_impl)
+    scan_k = max(1, args.scan_batches)
+    forward, bench_images = build_forward(scan_k)
 
     # warmup + compile; a host readback of one output guarantees true
     # device completion (block_until_ready alone can under-sync through
@@ -104,33 +110,65 @@ def main():
             from bpbreid_tpu.ops.quant import int8_calibration, int8_inference
             with int8_calibration(percentile=99.9):
                 # mode is read at trace time, so the jitted calibration
-                # graph is traced (and therefore quant-recording) here
+                # graph is traced (and therefore quant-recording) here.
+                # 64 images are plenty for the per-channel ranges and
+                # keep the f32 calibration graph small — the f32
+                # mutable-quant forward at full bench batch is the
+                # biggest program the bench would otherwise run
                 _, qvars = jax.jit(
                     lambda v, x: model.apply(v, x, train=False,
-                                             mutable=['quant']))(variables,
-                                                                 images)
+                                             mutable=['quant']))(
+                    variables, images[:min(64, batch_size)])
             variables = {**variables, **qvars}
-            # same mixed-precision configuration the accuracy gate
-            # covers (TestCfg defaults: per-conv scales, float
-            # residuals — see config.py int8_shared_points)
-            with int8_inference(shared=False):
-                out = forward(variables, bench_images)
         except Exception as e:     # never lose the bench to the int8 path
-            print('int8 path failed ({}); falling back to bf16'.format(e),
-                  file=sys.stderr)
+            print('int8 calibration failed ({}); falling back to bf16'
+                  .format(e), file=sys.stderr)
             use_int8 = False
-            # fresh CLOSURE, not just a fresh jit wrapper: if the int8
-            # executable compiled but failed at runtime, any cache keyed
-            # on the original function object could hand it back —
-            # a distinct function guarantees a float-mode retrace
-            forward = jax.jit(lambda v, x: batched_impl(v, x))
-            out = forward(variables, bench_images)
-    else:
-        out = forward(variables, bench_images)
-    sync(out)
-    for _ in range(args.warmup):
-        out = forward(variables, bench_images)
-    sync(out)
+
+    # compile + warmup, with fallback ladders so the bench always
+    # produces a number: device RESOURCE_EXHAUSTED -> halve scan_k,
+    # then halve the batch size (the tunneled backend's memory
+    # envelope varies across sessions — round-2 ran batch 256, the
+    # round-3 tunnel exhausts on the same program); any other int8
+    # failure -> bf16 retrace. build_forward makes a fresh closure per
+    # attempt, so a poisoned executable can never be handed back by
+    # the jit cache. int8 stays on across size steps: the quant scales
+    # are per-channel and batch-independent.
+    while True:
+        try:
+            if use_int8:
+                # same mixed-precision configuration the accuracy gate
+                # covers (TestCfg defaults: per-conv scales, float
+                # residuals — see config.py int8_shared_points)
+                with int8_inference(shared=False):
+                    out = forward(variables, bench_images)
+            else:
+                out = forward(variables, bench_images)
+            sync(out)
+            for _ in range(args.warmup):
+                out = forward(variables, bench_images)
+            sync(out)
+            break
+        except Exception as e:
+            oom = 'RESOURCE_EXHAUSTED' in str(e)
+            if oom and scan_k > 1:
+                scan_k //= 2
+                print('device memory exhausted; retrying with scan_k={}'
+                      .format(scan_k), file=sys.stderr)
+                forward, bench_images = build_forward(scan_k)
+            elif oom and batch_size > 32:
+                batch_size //= 2
+                print('device memory exhausted; retrying with batch_size={}'
+                      .format(batch_size), file=sys.stderr)
+                images = images[:batch_size]
+                forward, bench_images = build_forward(scan_k)
+            elif use_int8:
+                print('int8 path failed ({}); falling back to bf16'
+                      .format(e), file=sys.stderr)
+                use_int8 = False
+                forward, bench_images = build_forward(scan_k)
+            else:
+                raise
 
     start = time.perf_counter()
     for _ in range(args.iters):
@@ -138,7 +176,7 @@ def main():
     sync(out)
     elapsed = time.perf_counter() - start
 
-    imgs_per_sec = args.batch_size * scan_k * args.iters / elapsed
+    imgs_per_sec = batch_size * scan_k * args.iters / elapsed
     n_chips = max(1, len(jax.devices()))
     per_chip = imgs_per_sec / n_chips
     precision = 'int8' if use_int8 else 'bf16'
