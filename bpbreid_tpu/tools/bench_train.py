@@ -27,6 +27,10 @@ def main(argv=None):
                         help='train steps fused per compiled dispatch '
                              '(cfg.train.steps_per_dispatch; 1 = the '
                              'per-batch path)')
+    parser.add_argument('--profile', default=None, metavar='DIR',
+                        help='wrap the timed loop in a jax.profiler '
+                             'trace written under DIR; summarize with '
+                             'python -m bpbreid_tpu.tools.profile_summary DIR')
     args = parser.parse_args(argv)
 
     import jax
@@ -89,11 +93,15 @@ def main(argv=None):
         n_steps = args.iters
 
     sync(step())                                        # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = step()
-    sync(out)                                           # final sync
-    dt = (time.perf_counter() - t0) / n_steps
+    import contextlib
+    trace = (jax.profiler.trace(args.profile) if args.profile
+             else contextlib.nullcontext())
+    with trace:
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = step()
+        sync(out)                                       # final sync
+        dt = (time.perf_counter() - t0) / n_steps
     print(json.dumps({
         'metric': '{}_bpbreid_train_step_{}x{}_b{}{}'.format(
             args.backbone, args.height, args.width, args.batch_size,

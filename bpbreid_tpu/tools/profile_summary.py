@@ -1,0 +1,125 @@
+"""Op-level summary of a jax.profiler trace (xplane protobuf).
+
+The TPU-native replacement for "read the torch profiler table": point it
+at the ``plugins/profile/<run>/*.xplane.pb`` file a
+``jax.profiler.trace`` / ``utils.writer.ProfilerTrace`` context wrote
+(or at the directory containing it) and it prints per-op device time
+aggregated by fusion name plus a category rollup (convolution / reduce /
+elementwise / copy ...), so "where does the step time go" is answerable
+without a TensorBoard install.  Reference observability analogue:
+torchreid's CUDA-event timing table (utils/avgmeter.py:240-283,
+writer.py:373-391) — this goes one level deeper, to XLA ops.
+
+Usage:
+  python -m bpbreid_tpu.tools.profile_summary <trace-dir-or-xplane.pb> \
+      [--top 30] [--plane tpu]
+"""
+import argparse
+import collections
+import glob
+import os.path as osp
+import re
+
+
+def find_xplane(path):
+    """Resolve a trace directory (as passed to start_trace) or a direct
+    .xplane.pb path to the newest xplane file under it."""
+    if osp.isfile(path):
+        return path
+    hits = sorted(glob.glob(osp.join(path, '**', '*.xplane.pb'),
+                            recursive=True), key=osp.getmtime)
+    if not hits:
+        raise FileNotFoundError(
+            'no *.xplane.pb under {!r} — pass the directory given to '
+            'jax.profiler.start_trace (or ProfilerTrace)'.format(path))
+    return hits[-1]
+
+
+# crude-but-useful buckets for XLA fusion/op names on TPU
+_CATEGORIES = (
+    ('convolution', re.compile(r'convolution|conv[0-9._]|%conv')),
+    ('matmul', re.compile(r'\bdot\b|dot_general|einsum')),
+    ('reduce', re.compile(r'reduce|convert_reduce|all-reduce|allreduce')),
+    ('scatter/gather', re.compile(r'scatter|gather|dynamic-slice|'
+                                  r'dynamic_slice|take')),
+    ('copy/transpose', re.compile(r'copy|transpose|reshape|bitcast')),
+    ('infeed/outfeed', re.compile(r'infeed|outfeed|send|recv')),
+)
+
+
+def categorize(name):
+    low = name.lower()
+    for cat, pat in _CATEGORIES:
+        if pat.search(low):
+            return cat
+    return 'elementwise/other'
+
+
+def pick_plane(profile, prefer):
+    """Pick the device plane: prefer TPU, else GPU, else host."""
+    planes = list(profile.planes)
+    ranked = []
+    for plane in planes:
+        low = plane.name.lower()
+        if prefer and prefer in low:
+            score = 3
+        elif 'tpu' in low or 'device' in low:
+            score = 2
+        elif 'gpu' in low:
+            score = 1
+        else:
+            score = 0
+        ranked.append((score, plane))
+    ranked.sort(key=lambda t: t[0], reverse=True)
+    return ranked[0][1] if ranked else None
+
+
+def summarize(xplane_path, top=30, prefer='tpu'):
+    """Return (rows, cat_totals, total_ps): rows are
+    (name, total_ps, count) sorted by time desc."""
+    from jax.profiler import ProfileData
+    profile = ProfileData.from_file(xplane_path)
+    plane = pick_plane(profile, prefer)
+    if plane is None:
+        raise RuntimeError('trace has no planes: ' + xplane_path)
+    per_op = collections.Counter()
+    counts = collections.Counter()
+    for line in plane.lines:
+        for event in line.events:
+            name = event.name
+            dur = event.duration_ns
+            per_op[name] += dur
+            counts[name] += 1
+    rows = [(name, ns, counts[name]) for name, ns in per_op.most_common()]
+    cat = collections.Counter()
+    for name, ns, _ in rows:
+        cat[categorize(name)] += ns
+    return rows[:top], cat, sum(per_op.values()), plane.name
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('path', help='trace dir or .xplane.pb file')
+    parser.add_argument('--top', type=int, default=30)
+    parser.add_argument('--plane', default='tpu',
+                        help='substring preference for the plane name')
+    args = parser.parse_args(argv)
+
+    xplane = find_xplane(args.path)
+    rows, cats, total_ns, plane_name = summarize(
+        xplane, top=args.top, prefer=args.plane)
+    print('plane: {}   total event time: {:.3f} ms'.format(
+        plane_name, total_ns / 1e6))
+    print('\n-- category rollup --')
+    for cat, ns in cats.most_common():
+        print('{:<20} {:>10.3f} ms  {:>5.1f}%'.format(
+            cat, ns / 1e6, 100.0 * ns / max(total_ns, 1)))
+    print('\n-- top {} ops by device time --'.format(len(rows)))
+    print('{:<64} {:>10} {:>7}'.format('op', 'ms', 'count'))
+    for name, ns, count in rows:
+        print('{:<64} {:>10.3f} {:>7}'.format(
+            name[:64], ns / 1e6, count))
+
+
+if __name__ == '__main__':
+    main()

@@ -253,6 +253,32 @@ def test_bench_train_smoke(capsys):
     assert rec['unit'] == 'images/sec/chip' and rec['value'] > 0
 
 
+def test_profile_summary_tool(tmp_path, capsys):
+    """bench_train --profile writes a jax.profiler trace and
+    profile_summary parses it into per-op rows + a category rollup
+    (the op-level replacement for the reference's CUDA-event table)."""
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.tools.bench_train import main
+    from bpbreid_tpu.tools.profile_summary import (
+        categorize, find_xplane, main as summarize_main, summarize)
+    clear_dataset_cache()
+    trace_dir = str(tmp_path / 'trace')
+    main(['--batch-size', '4', '--height', '64', '--width', '32',
+          '--backbone', 'resnet18', '--iters', '2',
+          '--profile', trace_dir])
+    xplane = find_xplane(trace_dir)
+    rows, cats, total_ns, plane = summarize(xplane, top=10, prefer='cpu')
+    assert rows and total_ns > 0
+    assert all(ns >= 0 and count >= 1 for _, ns, count in rows)
+    # CLI path prints the table without raising
+    capsys.readouterr()
+    summarize_main([trace_dir, '--top', '5', '--plane', 'cpu'])
+    out = capsys.readouterr().out
+    assert 'category rollup' in out and 'top 5 ops' in out
+    assert categorize('fusion.123.convolution_1') == 'convolution'
+    assert categorize('convert_reduce.42') == 'reduce'
+
+
 @pytest.mark.slow
 def test_extract_reid_features(tmp_path):
     import cv2
