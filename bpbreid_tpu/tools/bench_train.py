@@ -102,14 +102,20 @@ def main(argv=None):
             out = step()
         sync(out)                                       # final sync
         dt = (time.perf_counter() - t0) / n_steps
-    print(json.dumps({
+    record = {
         'metric': '{}_bpbreid_train_step_{}x{}_b{}{}'.format(
             args.backbone, args.height, args.width, args.batch_size,
             '_spd{}'.format(spd) if spd > 1 else ''),
         'value': round(args.batch_size / dt, 2),
         'unit': 'images/sec/chip',
         'step_ms': round(dt * 1e3, 2),
-    }))
+    }
+    if args.profile:
+        # tracing overhead inflates dt — mark the record so a profiled
+        # run is never mistaken for a clean benchmark number
+        record['metric'] += '_profiled'
+        record['profiled'] = True
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

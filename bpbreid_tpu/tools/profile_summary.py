@@ -35,14 +35,20 @@ def find_xplane(path):
     return hits[-1]
 
 
-# crude-but-useful buckets for XLA fusion/op names on TPU
+# crude-but-useful buckets for XLA fusion/op names on TPU.
+# Order matters: control flow first (their duration covers their whole
+# body and would double-count the children), then reduces BEFORE convs
+# ('%convert_reduce_fusion' must not be caught by a 'conv' pattern).
 _CATEGORIES = (
-    ('convolution', re.compile(r'convolution|conv[0-9._]|%conv')),
+    ('control-flow', re.compile(r'%while|%conditional|%call|%fusion\.\d+ = '
+                                r'\(.*\) while')),
+    ('reduce', re.compile(r'reduce|all-reduce|allreduce')),
+    ('convolution', re.compile(r'convolution|%conv\b|conv[0-9._]')),
     ('matmul', re.compile(r'\bdot\b|dot_general|einsum')),
-    ('reduce', re.compile(r'reduce|convert_reduce|all-reduce|allreduce')),
     ('scatter/gather', re.compile(r'scatter|gather|dynamic-slice|'
                                   r'dynamic_slice|take')),
-    ('copy/transpose', re.compile(r'copy|transpose|reshape|bitcast')),
+    ('copy/transpose', re.compile(r'copy|transpose|reshape|bitcast|%pad|'
+                                  r'concatenate')),
     ('infeed/outfeed', re.compile(r'infeed|outfeed|send|recv')),
 )
 
@@ -74,17 +80,37 @@ def pick_plane(profile, prefer):
     return ranked[0][1] if ranked else None
 
 
+def pick_lines(plane):
+    """Select the event lines to aggregate, avoiding double counting.
+
+    A device plane carries parallel lines for the SAME time span at
+    different granularities ('XLA Modules' = whole jit programs,
+    'XLA Ops' = per-op, 'Async XLA Ops' = duplicated async views,
+    'Steps', ...). Summing every line counts the same nanoseconds two
+    or three times and files jit_* module names under
+    'elementwise/other'. Aggregate only the op-level line when one
+    exists; otherwise fall back to all lines (host planes etc. — their
+    nested-event totals are indicative only).
+    """
+    op_lines = [l for l in plane.lines if l.name == 'XLA Ops']
+    return (op_lines, True) if op_lines else (list(plane.lines), False)
+
+
 def summarize(xplane_path, top=30, prefer='tpu'):
-    """Return (rows, cat_totals, total_ps): rows are
-    (name, total_ps, count) sorted by time desc."""
+    """Return ``(rows, cat_totals, total_ns, plane_name)``: ``rows`` are
+    ``(name, total_ns, count)`` tuples sorted by device time descending
+    (nanoseconds), ``cat_totals`` a Counter of category -> ns, and
+    ``total_ns`` the summed op time. Only the plane's op-level
+    'XLA Ops' line is aggregated (see pick_lines)."""
     from jax.profiler import ProfileData
     profile = ProfileData.from_file(xplane_path)
     plane = pick_plane(profile, prefer)
     if plane is None:
         raise RuntimeError('trace has no planes: ' + xplane_path)
+    lines, op_level = pick_lines(plane)
     per_op = collections.Counter()
     counts = collections.Counter()
-    for line in plane.lines:
+    for line in lines:
         for event in line.events:
             name = event.name
             dur = event.duration_ns
@@ -92,9 +118,18 @@ def summarize(xplane_path, top=30, prefer='tpu'):
             counts[name] += 1
     rows = [(name, ns, counts[name]) for name, ns in per_op.most_common()]
     cat = collections.Counter()
+    total = 0
     for name, ns, _ in rows:
-        cat[categorize(name)] += ns
-    return rows[:top], cat, sum(per_op.values()), plane.name
+        c = categorize(name)
+        # a while/cond op's duration covers its whole body, and the body
+        # ops are reported separately on the same line — counting both
+        # would ~double the total; roll up the leaves only
+        if c == 'control-flow':
+            continue
+        cat[c] += ns
+        total += ns
+    label = plane.name if op_level else plane.name + ' (all lines; nested)'
+    return rows[:top], cat, total, label
 
 
 def main(argv=None):
