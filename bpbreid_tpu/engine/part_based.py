@@ -747,11 +747,39 @@ class ImagePartBasedEngine(Engine):
                 visualize_ranking_grid)
             tds = self.datamanager.test_dataset[dataset_name]
             out_dir = osp.join(save_dir, 'visrank_{}'.format(dataset_name))
+
+            def _masks_for(idxs, kind):
+                """Recompute the [M, Hf, Wf, P] per-stream attention maps
+                for a handful of selected samples — the reference holds
+                full query/gallery mask tensors through eval
+                (part_based_engine.py:150-157); recomputing on demand
+                keeps eval memory flat. Padded to a fixed mini-batch so
+                the jitted eval step traces at most one extra shape."""
+                loader = query_loader if kind == 'query' else gallery_loader
+                ds = tds['query' if kind == 'query' else 'gallery']
+                pad_to = max(int(visrank_topk), 1)
+                padded = list(idxs) + [idxs[0]] * (pad_to - len(idxs))
+                imgs, masks = [], []
+                for i in padded[:pad_to]:
+                    s = ds.get(kind, i, loader.height, loader.width,
+                               mask_grid=getattr(loader, 'mask_grid', None))
+                    imgs.append(s['image'])
+                    if 'mask' in s:
+                        masks.append(s['mask'])
+                imgs = jnp.asarray(np.stack(imgs))
+                m = jnp.asarray(np.stack(masks)) if masks else None
+                out = self._eval_step(self.state.params,
+                                      self.state.batch_stats, imgs, m)
+                return np.asarray(out[2])[:len(idxs)]
+
             paths = visualize_ranking_grid(
                 distmat, tds['query'].query, tds['gallery'].gallery,
                 out_dir, topk=visrank_topk, q_idx_list=visrank_q_idx_list,
                 count=visrank_count, mAP=mAP, rank1=float(cmc[0]),
-                dataset_name=dataset_name)
+                dataset_name=dataset_name,
+                bp_distmat=body_parts_distmat,
+                q_vis=np.asarray(q_vis_host), g_vis=np.asarray(g_vis),
+                masks_fn=_masks_for)
             print('Saved {} ranking grids to {}'.format(len(paths), out_dir))
 
         if save_features and save_dir:

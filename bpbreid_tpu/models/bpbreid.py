@@ -142,6 +142,16 @@ class PixelToPartClassifier(nn.Module):
                 means, e2s = [], []
                 for y in branches:
                     h_i, w_i = y.shape[1], y.shape[2]
+                    if (h_i, w_i) == (hf, wf):
+                        # identity resize (the full-resolution branch):
+                        # A = I so the Gram operators collapse and the
+                        # virtual stats are the plain moments — a fused
+                        # convert+reduce instead of two [hf,hf] matmuls
+                        # over the largest branch tensor
+                        yf = y.astype(jnp.float32)
+                        means.append(yf.mean(axis=(0, 1, 2)))
+                        e2s.append((yf * yf).mean(axis=(0, 1, 2)))
+                        continue
                     a = _linear_matrix_align_corners(h_i, hf)  # [hf, h_i]
                     b = _linear_matrix_align_corners(w_i, wf)
                     mh, mw = jnp.asarray(a.sum(0)), jnp.asarray(b.sum(0))
@@ -185,7 +195,11 @@ class PixelToPartClassifier(nn.Module):
         for y in branches:
             d = y.shape[-1]
             w_i = a_full[off:off + d, None] * w_mat[off:off + d]
-            part = jnp.einsum('nhwd,dk->nhwk', y.astype(jnp.float32), w_i,
+            # contract in the branch's own dtype (f32 accumulation via
+            # preferred_element_type): casting y to f32 here pushed
+            # full-size f32 activation copies AND f32 cotangents through
+            # the branch backward (2x HBM traffic in bf16 mode)
+            part = jnp.einsum('nhwd,dk->nhwk', y, w_i.astype(y.dtype),
                               preferred_element_type=jnp.float32)
             if part.shape[1:3] != (hf, wf):
                 part = resize_bilinear_align_corners(part, hf, wf)
@@ -439,6 +453,7 @@ class BPBreID(nn.Module):
             # [ones | foreground | background | parts], transpose-resize
             # them to each branch's grid, and contract there. Exactly
             # equal to pooling the upsampled concat map.
+            dt = branch_features[0].dtype
             stack = jnp.concatenate([
                 jnp.ones_like(foreground_masks)[..., None],
                 foreground_masks[..., None],
@@ -454,11 +469,13 @@ class BPBreID(nn.Module):
                     mw = jnp.asarray(_linear_matrix_align_corners(w_i, wf))
                     adj = jnp.einsum('qh,nqpc,pw->nhwc', mh, stack, mw,
                                      precision=jax.lax.Precision.HIGHEST)
+                # contract masks x features in the branch dtype with f32
+                # accumulation — an f32 cast of y doubles the activation
+                # (and cotangent) HBM traffic in bf16 mode
                 nums.append(jnp.einsum(
-                    'nhwc,nhwd->ncd', adj, y.astype(jnp.float32),
+                    'nhwc,nhwd->ncd', adj.astype(dt), y,
                     preferred_element_type=jnp.float32))
             num = jnp.concatenate(nums, axis=-1)             # [N,K+3,D]
-            dt = branch_features[0].dtype
             area = hf * wf
             global_embeddings = (num[:, 0] / area).astype(dt)
             foreground_embeddings = (num[:, 1] / area).astype(dt)

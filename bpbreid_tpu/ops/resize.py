@@ -65,6 +65,11 @@ def resize_bilinear_align_corners(x, out_h, out_w):
     """
     import jax
     ih, iw = x.shape[-3], x.shape[-2]
+    if (ih, iw) == (out_h, out_w):
+        # align_corners with in == out is the identity matrix; the
+        # einsums below would compute it exactly (1.0 * x) but promote
+        # bf16 inputs to f32 and burn two matmuls over the full tensor
+        return x
     mh = jnp.asarray(_linear_matrix_align_corners(ih, out_h))
     mw = jnp.asarray(_linear_matrix_align_corners(iw, out_w))
     # HIGHEST precision: each output is a 2-term convex combination and must

@@ -30,6 +30,38 @@ def test_ranking_grid(tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+def test_ranking_grid_per_part_columns(tmp_path):
+    """Per-part layout (reference visualize_query_gallery_rankings.py:
+    34-360): K part-heatmap columns per thumb with visibility-coded
+    borders and per-part distances."""
+    from bpbreid_tpu.utils.visualization import visualize_ranking_grid
+    rng = np.random.default_rng(0)
+    P = 4
+    q = [{'img': rng.integers(0, 255, (32, 16, 3), dtype=np.uint8),
+          'pid': i, 'camid': 0} for i in range(3)]
+    g = [{'img': rng.integers(0, 255, (32, 16, 3), dtype=np.uint8),
+          'pid': i % 3, 'camid': 1} for i in range(9)]
+    distmat = rng.random((3, 9))
+    bp = rng.random((P, 3, 9)).astype(np.float32)
+    q_vis = rng.random((3, P)).astype(np.float32)
+    g_vis = rng.random((9, P)).astype(np.float32)
+    calls = []
+
+    def masks_fn(idxs, kind):
+        calls.append((tuple(idxs), kind))
+        return rng.random((len(idxs), 8, 4, P)).astype(np.float32)
+
+    paths = visualize_ranking_grid(
+        distmat, q, g, str(tmp_path), topk=4, q_idx_list=[0], count=1,
+        mAP=0.5, rank1=0.6, bp_distmat=bp, q_vis=q_vis, g_vis=g_vis,
+        masks_fn=masks_fn)
+    assert len(paths) == 1
+    import os
+    assert all(os.path.exists(p) for p in paths)
+    kinds = {k for _, k in calls}
+    assert kinds == {'query', 'gallery'}
+
+
 def test_embedding_projection(tmp_path):
     from bpbreid_tpu.utils.visualization import visualize_embeddings_projection
     rng = np.random.default_rng(1)
