@@ -10,6 +10,7 @@ numerical parity for stride-2 convs.
 Compute dtype is configurable (bfloat16 on TPU); parameters and BN
 statistics stay float32.
 """
+from functools import partial
 from typing import Any, Callable, Sequence
 
 import jax
@@ -120,9 +121,106 @@ def conv(x, features, kernel, stride=1, name='conv', dtype=jnp.float32,
                  feature_group_count=groups, dtype=dtype, name=name)(x)
 
 
+def _bn_channel_sums(u, v, c):
+    """(sum u, sum v) over all-but-last axis in f32.
+
+    Negative results from the round-4 chip measurements, kept so nobody
+    re-tries them: (a) reducing over a lane-dense [M, 128] reshape
+    (folding the [128] partial to [c] by ``lane % c``) regressed the
+    train step 84 -> 231 ms — XLA must materialize the logical reshape
+    as a physical relayout because NHWC activations carry a {C,N,W,H}
+    minor-to-major layout; (b) a Pallas kernel (VMEM scratch accumulator
+    + MXU ones-dot row reduction, experiments/pallas_bn_v2.py) measured
+    slower than XLA's convert_reduce fusions at every branch shape."""
+    del c
+    axes = tuple(range(u.ndim - 1))
+    return u.sum(axes), v.sum(axes)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train(x, scale, bias, eps):
+    y, mean, var, _ = _bn_train_fwd_core(x, scale, bias, eps)
+    return y, mean, var
+
+
+def _bn_train_fwd_core(x, scale, bias, eps):
+    c = x.shape[-1]
+    m = x.size // c
+    xf = x.astype(jnp.float32)
+    s1, s2 = _bn_channel_sums(xf, xf * xf, c)
+    mean = s1 / m
+    # fast variance E[x^2]-E[x]^2, clipped like flax _compute_stats
+    var = jnp.maximum(0.0, s2 / m - mean * mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = (xf - mean) * (rstd * scale) + bias
+    return y, mean, var, rstd
+
+
+def _bn_train_vjp_fwd(x, scale, bias, eps):
+    y, mean, var, rstd = _bn_train_fwd_core(x, scale, bias, eps)
+    return (y, mean, var), (x, scale, mean, rstd)
+
+
+def _bn_train_vjp_bwd(eps, res, cts):
+    dy, dmean_ct, dvar_ct = cts
+    x, scale, mean, rstd = res
+    c = x.shape[-1]
+    m = x.size // c
+    dyf = dy.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    xhat = (xf - mean) * rstd
+    dbias, dscale = _bn_channel_sums(dyf, dyf * xhat, c)
+    # d/dx of the normalize with batch statistics, plus the (normally
+    # zero — running stats are an aux output) mean/var cotangents
+    g = rstd * scale
+    dx = g * (dyf - dbias / m - xhat * (dscale / m)) \
+        + dmean_ct / m + dvar_ct * (2.0 / m) * (xf - mean)
+    return dx.astype(x.dtype), dscale, dbias
+
+
+_bn_train.defvjp(_bn_train_vjp_fwd, _bn_train_vjp_bwd)
+
+
+class FastBatchNorm(nn.Module):
+    """``nn.BatchNorm`` drop-in (same params/variables/output) whose
+    train-mode statistics and gradient reductions run lane-dense (see
+    _bn_channel_sums). Semantics replicate flax: f32 fast-variance
+    stats, running update ``m*ra + (1-m)*batch``, normalize in f32 cast
+    to ``canonicalize_dtype(x, scale, bias, dtype)``."""
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from flax.linen import dtypes as flax_dtypes
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        out_dtype = flax_dtypes.canonicalize_dtype(x, scale, bias,
+                                                   dtype=self.dtype)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            y = (x.astype(jnp.float32) - mean) \
+                * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+            return y.astype(out_dtype)
+        y, mean, var = _bn_train(x, scale, bias, self.epsilon)
+        if not self.is_initializing():
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        return y.astype(out_dtype)
+
+
 def bn(x, train, name='bn', dtype=jnp.float32):
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, dtype=dtype, name=name)(x)
+    return FastBatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=dtype, name=name)(x)
 
 
 class BasicBlock(nn.Module):

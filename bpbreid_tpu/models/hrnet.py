@@ -20,8 +20,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from bpbreid_tpu.models.common import (BN_EPS, BN_MOMENTUM, BasicBlock,
-                                        Bottleneck, PConv, ResLayer,
-                                        calibrated_quant)
+                                        Bottleneck, FastBatchNorm, PConv,
+                                        ResLayer, calibrated_quant)
 from bpbreid_tpu.ops.quant import QTensor, dequantize
 from bpbreid_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -49,8 +49,8 @@ class _ConvBNRelu(nn.Module):
                   strides=(self.stride, self.stride),
                   padding=((pad, pad), (pad, pad)), use_bias=self.use_bias,
                   dtype=self.dtype, name='0')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype, name='1')(x)
+        x = FastBatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          epsilon=BN_EPS, dtype=self.dtype, name='1')(x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -94,10 +94,10 @@ class HighResolutionModule(nn.Module):
                     t = PConv(self.num_channels[i], (1, 1), use_bias=False,
                               dtype=self.dtype,
                               name='fuse_layers.{}.{}.0'.format(i, j))(xs[j])
-                    t = nn.BatchNorm(use_running_average=not train,
-                                     momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                     dtype=self.dtype,
-                                     name='fuse_layers.{}.{}.1'.format(i, j))(t)
+                    t = FastBatchNorm(use_running_average=not train,
+                                      momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                      dtype=self.dtype,
+                                      name='fuse_layers.{}.{}.1'.format(i, j))(t)
                     f = 2 ** (j - i)
                     t = jnp.repeat(jnp.repeat(t, f, axis=1), f, axis=2)
                 else:
@@ -139,9 +139,9 @@ class HighResolutionNet(nn.Module):
         for name_c, name_b in (('conv1', 'bn1'), ('conv2', 'bn2')):
             x = PConv(64, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name=name_c)(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name=name_b)(x)
+            x = FastBatchNorm(use_running_average=not train,
+                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                              dtype=self.dtype, name=name_b)(x)
             x = nn.relu(x)
         if self.profile_stop == 'stem':
             return x
@@ -203,9 +203,9 @@ class HighResolutionNet(nn.Module):
         if self.enable_dim_reduction:
             x = PConv(self.dim_reduction_channels, (1, 1), use_bias=True,
                       dtype=self.dtype, name='cls_head.0')(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             dtype=self.dtype, name='cls_head.1')(x)
+            x = FastBatchNorm(use_running_average=not train,
+                              momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                              dtype=self.dtype, name='cls_head.1')(x)
             x = nn.relu(x)
         if self.return_branches:
             return x, tuple(ys)

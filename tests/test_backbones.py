@@ -134,3 +134,68 @@ def test_feature_dims():
     assert hrnet32(enable_dim_reduction=False).feature_dim == 1920
     assert hrnet32(enable_dim_reduction=True,
                    dim_reduction_channels=256).feature_dim == 256
+
+
+@pytest.mark.parametrize('c', [32, 64, 128, 37])
+def test_fast_batch_norm_matches_flax(c):
+    """FastBatchNorm must be an exact nn.BatchNorm drop-in: forward
+    values, running-stat updates, and input/param gradients (both the
+    lane-dense narrow-channel path and the general fallback)."""
+    import flax.linen as fnn
+    import jax
+    import jax.numpy as jnp
+    from bpbreid_tpu.models.common import BN_EPS, BN_MOMENTUM, FastBatchNorm
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 8, 4, c)).astype(np.float32) * 3 + 1)
+
+    ref = fnn.BatchNorm(use_running_average=False, momentum=BN_MOMENTUM,
+                        epsilon=BN_EPS)
+    fast = FastBatchNorm(use_running_average=False, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)
+    v_ref = ref.init(jax.random.PRNGKey(0), x)
+    v_fast = fast.init(jax.random.PRNGKey(0), x)
+    # same variable tree (torch conversion compatibility)
+    assert jax.tree_util.tree_structure(v_ref) == \
+        jax.tree_util.tree_structure(v_fast)
+    # non-trivial affine params + running stats
+    params = {'scale': jnp.asarray(rng.normal(size=(c,)).astype(np.float32)),
+              'bias': jnp.asarray(rng.normal(size=(c,)).astype(np.float32))}
+    stats = {'mean': jnp.asarray(rng.normal(size=(c,)).astype(np.float32)),
+             'var': jnp.abs(jnp.asarray(
+                 rng.normal(size=(c,)).astype(np.float32))) + 0.5}
+    variables = {'params': params, 'batch_stats': stats}
+
+    def run(mod):
+        y, mut = mod.apply(variables, x, mutable=['batch_stats'])
+        return y, mut['batch_stats']
+
+    y_ref, s_ref = run(ref)
+    y_fast, s_fast = run(fast)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_fast['mean']),
+                               np.asarray(s_ref['mean']), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_fast['var']),
+                               np.asarray(s_ref['var']), atol=1e-5)
+
+    def loss(mod, p, xx):
+        y, _ = mod.apply({'params': p, 'batch_stats': stats}, xx,
+                         mutable=['batch_stats'])
+        return jnp.sum(y * y * 0.1)
+
+    g_ref = jax.grad(lambda p, xx: loss(ref, p, xx), argnums=(0, 1))(params, x)
+    g_fast = jax.grad(lambda p, xx: loss(fast, p, xx), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fast)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=3e-4, rtol=2e-4)
+
+    # eval mode
+    refE = fnn.BatchNorm(use_running_average=True, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS)
+    fastE = FastBatchNorm(use_running_average=True, momentum=BN_MOMENTUM,
+                          epsilon=BN_EPS)
+    np.testing.assert_allclose(
+        np.asarray(fastE.apply(variables, x)),
+        np.asarray(refE.apply(variables, x)), atol=2e-5, rtol=1e-5)
