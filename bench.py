@@ -28,6 +28,12 @@ def main():
                              '(lax.scan, same per-image math; mirrors '
                              'cfg.test.batches_per_dispatch in the eval '
                              'engine). 1 = per-batch dispatch')
+    parser.add_argument('--profile', default=None, metavar='DIR',
+                        help='wrap the timed loop in a jax.profiler '
+                             'trace written to DIR; summarize with '
+                             'python -m bpbreid_tpu.tools.profile_summary '
+                             'DIR. Tracing overhead inflates the metric, '
+                             'so the record is tagged profiled=True')
     args = parser.parse_args()
 
     import os
@@ -174,19 +180,30 @@ def main():
             else:
                 raise
 
+    trace = (jax.profiler.trace(args.profile) if args.profile
+             else None)
     start = time.perf_counter()
-    for _ in range(args.iters):
-        out = forward(variables, bench_images)
-    sync(out)
+    if trace is not None:
+        with trace:
+            for _ in range(args.iters):
+                out = forward(variables, bench_images)
+            sync(out)
+    else:
+        for _ in range(args.iters):
+            out = forward(variables, bench_images)
+        sync(out)
     elapsed = time.perf_counter() - start
 
     imgs_per_sec = batch_size * scan_k * args.iters / elapsed
     n_chips = max(1, len(jax.devices()))
     per_chip = imgs_per_sec / n_chips
     precision = 'int8' if use_int8 else 'bf16'
+    record_extra = {'profiled': True} if args.profile else {}
     print(json.dumps({
-        'metric': '{}_bpbreid_inference_{}x{}_{}'.format(
-            args.backbone, args.height, args.width, precision),
+        'metric': '{}_bpbreid_inference_{}x{}_{}{}'.format(
+            args.backbone, args.height, args.width, precision,
+            '_profiled' if args.profile else ''),
+        **record_extra,
         'value': round(per_chip, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(per_chip / 5000.0, 4),

@@ -13,6 +13,7 @@ from bpbreid_tpu.data.datasets.image_datasets import (
     OccludedReID,
     PDukemtmcReid,
     SyntheticDataset,
+    SyntheticHardDataset,
 )
 from bpbreid_tpu.data.datasets.small_datasets import (
     CUHK01,
@@ -36,6 +37,7 @@ __image_datasets = {
     'p_dukemtmc_reid': PDukemtmcReid,
     'msmt17': MSMT17,
     'synthetic': SyntheticDataset,
+    'synthetic_hard': SyntheticHardDataset,
     'viper': VIPeR,
     'ilids': iLIDS,
     'cuhk01': CUHK01,
@@ -53,7 +55,7 @@ __image_datasets = {
 __datasets_nicknames = {
     'market1501': 'mk', 'dukemtmcreid': 'du', 'occluded_duke': 'od',
     'occluded_reid': 'or', 'p_dukemtmc_reid': 'pd', 'msmt17': 'ms',
-    'synthetic': 'sy', 'viper': 'vi', 'ilids': 'il', 'cuhk01': 'c1',
+    'synthetic': 'sy', 'synthetic_hard': 'sh', 'viper': 'vi', 'ilids': 'il', 'cuhk01': 'c1',
     'cuhk02': 'c2', 'cuhk03': 'c3', 'prid': 'pr', 'grid': 'gr',
     'sensereid': 'se', 'partial_reid': 'pa', 'partial_ilids': 'pi',
     'p_ETHZ': 'pe',

@@ -286,7 +286,9 @@ class SyntheticDataset(ImageDataset):
     }
 
     def __init__(self, root='', num_pids=8, num_cams=3, imgs_per_pid_cam=2,
-                 height=64, width=32, seed=0, masks_dir=None, **kwargs):
+                 height=64, width=32, seed=0, masks_dir=None, hard=False,
+                 pattern_amp=45, color_lo=60, color_hi=180, noise=24,
+                 **kwargs):
         rng = np.random.default_rng(seed)
         self.masks_parts_numbers, self.has_background, self.masks_suffix = \
             36, False, '.npy'
@@ -299,13 +301,29 @@ class SyntheticDataset(ImageDataset):
                 # per-split draw makes query->gallery matching impossible
                 # by construction and pins every eval at chance mAP):
                 # key the base color on (dataset seed, pid) only
-                base = np.random.default_rng(
-                    10_000 + seed * 100 + pid).integers(0, 200, size=3)
+                pid_rng = np.random.default_rng(10_000 + seed * 100 + pid)
+                base = pid_rng.integers(0, 200, size=3)
+                # hard mode: the identity is a fixed low-res spatial
+                # pattern (upsampled per-pid texture); the mean color is
+                # per-IMAGE noise. Random-init embeddings rank by color
+                # and score near chance, so retrieval quality measures
+                # LEARNING, not init (the learning-gate test's dataset).
+                pat = pid_rng.integers(-pattern_amp, pattern_amp + 1,
+                                       (8, 4, 3))
+                pattern = pat.repeat(height // 8, 0).repeat(width // 4, 1)
                 for camid in range(num_cams):
                     for i in range(imgs_per_pid_cam):
-                        img = (base[None, None, :]
-                               + r.integers(0, 56, (height, width, 3))
-                               ).astype(np.uint8)
+                        if hard:
+                            img = np.clip(
+                                r.integers(color_lo, color_hi,
+                                           size=3)[None, None, :]
+                                + pattern
+                                + r.integers(0, noise, (height, width, 3)),
+                                0, 255).astype(np.uint8)
+                        else:
+                            img = (base[None, None, :]
+                                   + r.integers(0, 56, (height, width, 3))
+                                   ).astype(np.uint8)
                         # fields at ~1/8 of the image grid, like real
                         # pifpaf output (the loader ships them at this
                         # scale and the device pipeline upsamples)
@@ -325,3 +343,15 @@ class SyntheticDataset(ImageDataset):
         query = make_split(seed + 1)
         gallery = make_split(seed + 2) + make_split(seed + 3)
         super().__init__(train, query, gallery, masks_dir=masks_dir, **kwargs)
+
+
+class SyntheticHardDataset(SyntheticDataset):
+    """Hard variant of the synthetic set: identity = spatial pattern,
+    color = per-image noise (see SyntheticDataset hard=True). Used by
+    the learning-gate test — random-init features score near chance
+    here, so eval mAP measures training progress."""
+    dataset_dir = 'synthetic_hard'
+
+    def __init__(self, **kwargs):
+        kwargs['hard'] = True
+        super().__init__(**kwargs)

