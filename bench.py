@@ -23,6 +23,11 @@ def main():
     parser.add_argument('--pallas-pooling', action='store_true')
     parser.add_argument('--no-int8', action='store_true',
                         help='disable the int8 backbone-conv path')
+    parser.add_argument('--int8-shared', action='store_true',
+                        help='module-level shared quantization points '
+                             '(cfg.test.int8_shared_points): one int8 '
+                             'HBM copy per block input instead of '
+                             'per-conv quantize epilogues')
     parser.add_argument('--scan-batches', type=int, default=4,
                         help='batches fused per compiled dispatch '
                              '(lax.scan, same per-image math; mirrors '
@@ -149,7 +154,7 @@ def main():
                 # same mixed-precision configuration the accuracy gate
                 # covers (TestCfg defaults: per-conv scales, float
                 # residuals — see config.py int8_shared_points)
-                with int8_inference(shared=False):
+                with int8_inference(shared=args.int8_shared):
                     out = forward(variables, bench_images)
             else:
                 out = forward(variables, bench_images)
