@@ -282,13 +282,24 @@ class BasicBlock(nn.Module):
     ``packed=True``: the input/output are space-to-depth lane-packed
     (ops/lane_pack.py; train-mode 32-ch HRNet branches) — convs fold
     their logical kernels, BNs fold their statistics, parameters keep
-    the logical shapes."""
+    the logical shapes.
+
+    ``quant_out=True``: under shared-point int8 inference the block
+    RETURNS a ``QTensor`` — the quantize (with this tensor's own
+    calibrated scale, identical to what the consumer would use) fuses
+    into the block's final add+relu, so the bf16 block output is never
+    materialized in HBM: the residual trunk rides one s8 copy per
+    block instead of bf16-write + bf16-read + s8-write (the
+    clamp_convert fusions that dominate the int8 inference profile).
+    Only safe when every consumer is QTensor-aware (PConv /
+    calibrated_quant / dequantize)."""
     planes: int
     stride: int = 1
     has_downsample: bool = False
     groups: int = 1
     base_width: int = 64
     packed: bool = False
+    quant_out: bool = False
     dtype: Any = jnp.float32
     expansion = 1
 
@@ -320,18 +331,23 @@ class BasicBlock(nn.Module):
         if self.has_downsample:
             residual = bn(conv(x, self.planes, 1, self.stride, 'downsample.0',
                                self.dtype), train, 'downsample.1', self.dtype)
-        return nn.relu(out + residual)
+        y = nn.relu(out + residual)
+        if self.quant_out:
+            y = calibrated_quant(self, y, name='out_amax')
+        return y
 
 
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck + residual (expansion 4).
 
-    ``groups``/``base_width`` support the ResNeXt variants."""
+    ``groups``/``base_width`` support the ResNeXt variants.
+    ``quant_out``: producer-side shared-int8 output — see BasicBlock."""
     planes: int
     stride: int = 1
     has_downsample: bool = False
     groups: int = 1
     base_width: int = 64
+    quant_out: bool = False
     dtype: Any = jnp.float32
     expansion = 4
 
@@ -350,14 +366,27 @@ class Bottleneck(nn.Module):
             residual = bn(conv(x, self.planes * 4, 1, self.stride,
                                'downsample.0', self.dtype),
                           train, 'downsample.1', self.dtype)
-        return nn.relu(out + residual)
+        y = nn.relu(out + residual)
+        if self.quant_out:
+            y = calibrated_quant(self, y, name='out_amax')
+        return y
 
 
 class ResLayer(nn.Module):
     """A stack of residual blocks named ``<i>`` like a torch Sequential.
 
     ``packed=True`` (BasicBlock only): input arrives space-to-depth
-    lane-packed; the logical channel count is ``cin / 4``."""
+    lane-packed; the logical channel count is ``cin / 4``.
+
+    ``quant_out=True``: under shared-point int8 inference the LAYER
+    output is produced as a QTensor — see BasicBlock.quant_out; needs
+    every downstream consumer QTensor-aware, so it is opt-in.
+    ``quant_blocks=True`` (default): intermediate block outputs are
+    producer-quantized — always safe, their only consumer is the next
+    block. Producer-side quantization is numerically IDENTICAL to the
+    consumer-side quantize it replaces (both quantize the same tensor
+    with the scale calibrated on that tensor); the knob exists for the
+    equivalence test and as a fallback."""
     block: Callable
     planes: int
     num_blocks: int
@@ -365,6 +394,8 @@ class ResLayer(nn.Module):
     groups: int = 1
     base_width: int = 64
     packed: bool = False
+    quant_out: bool = False
+    quant_blocks: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -376,12 +407,17 @@ class ResLayer(nn.Module):
             cin //= FOLD
         needs_ds = self.stride != 1 or cin != self.planes * expansion
         kw = {'packed': True} if self.packed else {}
+        last = self.num_blocks - 1
         x = self.block(self.planes, self.stride, needs_ds, groups=self.groups,
                        base_width=self.base_width, dtype=self.dtype,
+                       quant_out=self.quant_out if last == 0
+                       else self.quant_blocks,
                        name='0', **kw)(x, train)
         for i in range(1, self.num_blocks):
             x = self.block(self.planes, 1, False, groups=self.groups,
                            base_width=self.base_width, dtype=self.dtype,
+                           quant_out=self.quant_out if i == last
+                           else self.quant_blocks,
                            name=str(i), **kw)(x, train)
         return x
 

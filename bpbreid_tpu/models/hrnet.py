@@ -77,8 +77,12 @@ class HighResolutionModule(nn.Module):
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if pack:
             x = space_to_depth(x)
+        # quant_out: in shared-int8 mode every consumer of a branch
+        # output is QTensor-aware (the fuse-layer PConvs, the identity
+        # dequantize, the next stage's transitions and block inputs),
+        # so the whole branch trunk rides s8 producer-side copies
         x = ResLayer(BasicBlock, self.num_channels[i], self.num_blocks[i],
-                     packed=pack, dtype=self.dtype,
+                     packed=pack, quant_out=True, dtype=self.dtype,
                      name='branches.{}'.format(i))(x, train)
         return depth_to_space(x) if pack else x
 
@@ -162,9 +166,12 @@ class HighResolutionNet(nn.Module):
             x = nn.relu(x)
         if self.profile_stop == 'stem':
             return x
-        x = ResLayer(Bottleneck, 64, 4, dtype=self.dtype, name='layer1')(x, train)
+        # quant_out: layer1's output feeds the stage-2 transitions
+        # (QTensor-aware PConvs / pass-through block inputs)
+        x = ResLayer(Bottleneck, 64, 4, quant_out=True, dtype=self.dtype,
+                     name='layer1')(x, train)
         if self.profile_stop == 'layer1':
-            return x
+            return dequantize(x, self.dtype) if isinstance(x, QTensor) else x
 
         prev_channels = [256]
         xs = [x]

@@ -113,6 +113,42 @@ def test_quant_opts_static_arg_forces_retrace():
     np.testing.assert_array_equal(y_skip, y_float)   # skip-all == float
 
 
+def test_reslayer_producer_quant_matches_consumer_shared():
+    """Producer-side shared-int8 quantization (blocks RETURN a QTensor,
+    quantized in the producing add+relu fusion with the tensor's own
+    calibrated scale) is bit-identical to the consumer-side quantize it
+    replaces (the next block quantizing its input with the same scale):
+    both quantize the same float tensor with amax calibrated on that
+    tensor. The relocation only changes WHERE the s8 copy is written —
+    killing the bf16 HBM round-trip that dominated the int8 inference
+    profile — never the values."""
+    from bpbreid_tpu.models.common import BasicBlock, ResLayer
+
+    producer = ResLayer(BasicBlock, 16, 3, quant_blocks=True)
+    consumer = ResLayer(BasicBlock, 16, 3, quant_blocks=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    v = consumer.init(jax.random.PRNGKey(0), x)   # same params/names
+
+    outs = {}
+    for name, layer in (('producer', producer), ('consumer', consumer)):
+        with int8_calibration():
+            _, qvars = layer.apply(v, x, mutable=['quant'])
+        with int8_inference(shared=True):
+            outs[name] = np.asarray(layer.apply({**v, **qvars}, x))
+    np.testing.assert_array_equal(outs['producer'], outs['consumer'])
+
+    # float path and per-conv int8 are untouched by the knob
+    np.testing.assert_array_equal(np.asarray(producer.apply(v, x)),
+                                  np.asarray(consumer.apply(v, x)))
+    for name, layer in (('producer', producer), ('consumer', consumer)):
+        with int8_calibration():
+            _, qvars = layer.apply(v, x, mutable=['quant'])
+        with int8_inference(shared=False):
+            outs[name] = np.asarray(layer.apply({**v, **qvars}, x))
+    np.testing.assert_array_equal(outs['producer'], outs['consumer'])
+
+
 @pytest.mark.slow
 def test_int8_hrnet_preserves_features_and_ranking():
     """The calibrated int8 backbone must keep BPBreID embeddings close
@@ -139,3 +175,15 @@ def test_int8_hrnet_preserves_features_and_ranking():
     assert cos.min() > 0.995, cos
     np.testing.assert_array_equal(np.asarray(vis_f['parts']),
                                   np.asarray(vis_q['parts']))
+
+    # shared quantization points (one s8 copy per block, produced in
+    # the block's output fusion — models/common.py quant_out): slightly
+    # looser bound, the residual trunk rides int8
+    with int8_inference(shared=True):
+        emb_s, vis_s, *_ = model.apply({**v, **qvars}, x, train=False)
+    s = np.asarray(emb_s[BN_FOREGROUND], np.float32)
+    cos_s = (f * s).sum(-1) / (np.linalg.norm(f, axis=-1)
+                               * np.linalg.norm(s, axis=-1) + 1e-9)
+    assert cos_s.min() > 0.99, cos_s
+    np.testing.assert_array_equal(np.asarray(vis_f['parts']),
+                                  np.asarray(vis_s['parts']))
