@@ -302,7 +302,9 @@ class TestCfg:
     # residual trunk — measured mAP cost on the flagship parity rig;
     # False keeps residuals float and quantizes per conv)
     int8_shared_points: bool = False
-    # 'per_channel' | 'per_tensor' activation scale granularity
+    # 'per_channel' | 'per_tensor' | 'per_channel_floor<K>' activation
+    # scale granularity (floor<K> bounds the weight-fold spread to K —
+    # see ops/quant.py act_scale_from_amax)
     int8_act_granularity: str = 'per_channel'
     normalize_feature: bool = True
     ranks: List[int] = _f([1, 5, 10, 20])

@@ -273,6 +273,10 @@ class BPBreID(nn.Module):
     # upsampled concat map (the reference materializes it:
     # torchreid/models/hrnet.py:532-545) — it dominates eval HBM traffic.
     multires_pooling: bool = True
+    # hrnet32-only: stage-config override forwarded to the backbone
+    # (HighResolutionNet.stages) — lets the flagship learning gate train
+    # a depth-reduced W32 on a CPU test budget
+    backbone_stages: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -295,6 +299,8 @@ class BPBreID(nn.Module):
             and self.dim_reduce != 'before_pooling')
         if self._multires:
             backbone_kwargs['return_branches'] = True
+        if self.backbone_stages is not None:
+            backbone_kwargs['stages'] = self.backbone_stages
         self.backbone_appearance_feature_extractor = model_registry.build_model(
             self.backbone, self.num_classes, loss='part_based',
             pretrained=False, last_stride=self.last_stride,

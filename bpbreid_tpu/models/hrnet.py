@@ -148,11 +148,22 @@ class HighResolutionNet(nn.Module):
     # train-mode space-to-depth packing of the 32-ch branch (see
     # HighResolutionModule.lane_pack)
     lane_pack_train: bool = True
+    # stage-config override (same schema as HRNET_W32_STAGES): the
+    # flagship learning gate trains a depth-reduced W32 (fewer modules /
+    # blocks, SAME channel widths so lane packing and the incre head
+    # planes are exercised unchanged) that fits a CPU test budget
+    stages: Any = None
     dtype: Any = jnp.float32
+
+    def _stages(self):
+        return self.stages if self.stages is not None else HRNET_W32_STAGES
 
     @property
     def feature_dim(self):
-        return self.dim_reduction_channels if self.enable_dim_reduction else 1920
+        if self.enable_dim_reduction:
+            return self.dim_reduction_channels
+        # incre heads are Bottlenecks (expansion 4) at the stage-4 widths
+        return sum(4 * c for c in self._stages()['stage4'][3])
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -176,7 +187,7 @@ class HighResolutionNet(nn.Module):
         prev_channels = [256]
         xs = [x]
         for si, stage in enumerate(('stage2', 'stage3', 'stage4')):
-            n_mod, n_br, n_blocks, channels = HRNET_W32_STAGES[stage]
+            n_mod, n_br, n_blocks, channels = self._stages()[stage]
             tname = 'transition{}'.format(si + 1)
             # int8: one shared quantized copy per stage input — each
             # tensor here can feed several transition convs AND pass
@@ -215,10 +226,10 @@ class HighResolutionNet(nn.Module):
                 return xs[0]
 
         # per-branch bottleneck "incre" heads: 32/64/128/256 -> 128/256/512/1024
-        head_planes = (32, 64, 128, 256)
+        head_planes = self._stages()['stage4'][3]
         ys = [ResLayer(Bottleneck, head_planes[i], 1, dtype=self.dtype,
                        name='incre_modules.{}'.format(i))(xs[i], train)
-              for i in range(4)]
+              for i in range(len(head_planes))]
 
         # upsample all to branch-0 resolution (bilinear align_corners) + concat
         h, w = ys[0].shape[1], ys[0].shape[2]
@@ -240,7 +251,7 @@ class HighResolutionNet(nn.Module):
 def hrnet32(num_classes=1000, loss='part_based', pretrained=True,
             enable_dim_reduction=True, dim_reduction_channels=256,
             pretrained_path='', return_branches=False, lane_pack_train=True,
-            dtype=jnp.float32, **kwargs):
+            stages=None, dtype=jnp.float32, **kwargs):
     """Constructor mirroring the reference
     (torchreid/models/hrnet.py:611-620). Pretrained weights are loaded
     separately through bpbreid_tpu.utils.torch_weights."""
@@ -249,4 +260,4 @@ def hrnet32(num_classes=1000, loss='part_based', pretrained=True,
                              dim_reduction_channels=dim_reduction_channels,
                              return_branches=return_branches,
                              lane_pack_train=lane_pack_train,
-                             dtype=dtype)
+                             stages=stages, dtype=dtype)

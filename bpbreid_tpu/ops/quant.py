@@ -26,6 +26,39 @@ The flags are read at TRACE time: a jitted function compiled inside a
 context keeps that graph permanently — keep separate jitted callables
 per mode. Training always uses the float path.
 
+Mode matrix — which graph runs for each config (one mechanism per
+row; they compose top-to-bottom, later rows only activate with the
+earlier ones):
+
+  ``cfg.test.int8 = False`` (or outside ``int8_inference()``):
+      float/bf16 everywhere. ``calibrated_quant`` and
+      ``quant_out`` are no-ops (they return the tensor unchanged), so
+      the block/module-level hooks cost nothing outside int8 mode.
+  ``cfg.test.int8 = True``, ``int8_shared_points = False`` (per-conv,
+      the conservative default for accuracy): every PConv quantizes
+      its OWN input with its own calibrated scale; residual/identity
+      adds consume the exact float tensor, so quantization error does
+      not compound along the residual trunk. Measured 7027 img/s
+      (flagship, batch 256, scan_k 4, round 5).
+  ``int8_shared_points = True`` (the throughput mode): hot tensors are
+      quantized ONCE at module level (``calibrated_quant``) and blocks
+      PRODUCE ``QTensor`` outputs (``quant_out``/``quant_blocks`` —
+      the quantize fuses into the block's final add+relu so the bf16
+      output is never materialized in HBM); every consumer — convs and
+      residual adds — reads the same s8 copy. Producer-side quant is
+      numerically identical to the consumer-side quantize it replaces
+      (same tensor, same calibrated scale; equivalence-tested in
+      tests/test_quant.py). Measured 8004 img/s (+14%, round 5).
+  ``int8_act_granularity = 'per_tensor'``: collapse the per-channel
+      activation scales with a max at use time (accuracy A/B knob;
+      measured ~5% absolute mAP cost — keep 'per_channel').
+  ``int8_skip_patterns = [...]``: module-path substrings kept in
+      float under either mode (mixed-precision escape hatch).
+
+The engine (engine/part_based.py) builds its int8 eval step from
+``QuantOpts.from_config(cfg.test)``, so the config knobs select the
+graph end-to-end; ``bench.py --int8-shared`` A/Bs the two modes.
+
 The reference has no quantized path; this is TPU-native headroom on top
 of the reference's fp32 inference (torchreid/models/hrnet.py:314-620).
 """
@@ -148,10 +181,27 @@ def quant_shared_points():
 
 def act_scale_from_amax(amax):
     """Stored per-channel amax -> activation scale under the active
-    granularity (per-tensor mode collapses it with a max)."""
+    granularity.
+
+    'per_tensor' collapses it with a max. 'per_channel_floor<K>'
+    (e.g. 'per_channel_floor16') floors each channel's amax at
+    max(amax)/K: per-channel activation scales are FOLDED into the conv
+    weights (quant_conv._fold_act_scale), so an unbounded amax spread
+    across input channels inflates the folded weight rows' dynamic
+    range and destroys the per-OUTPUT-channel weight quantization — the
+    floor bounds that fold spread to K while keeping per-channel
+    resolution for the loud channels (measured: unbounded per-channel
+    folding costs ~0.19 mAP on the briefly-trained flagship rig where
+    BN ranges are unequalized; per-tensor costs ~0.06)."""
     amax = jnp.asarray(amax)
-    if _ACT_GRAN.get() == 'per_tensor' and amax.ndim:
+    gran = _ACT_GRAN.get()
+    if amax.ndim == 0:
+        return amax / 127.0
+    if gran == 'per_tensor':
         amax = jnp.max(amax)
+    elif gran.startswith('per_channel_floor'):
+        k = float(gran[len('per_channel_floor'):])
+        amax = jnp.maximum(amax, jnp.max(amax) / k)
     return amax / 127.0
 
 

@@ -31,6 +31,10 @@ def main(argv=None):
                         help='wrap the timed loop in a jax.profiler '
                              'trace written under DIR; summarize with '
                              'python -m bpbreid_tpu.tools.profile_summary DIR')
+    parser.add_argument('--repeats', type=int, default=3,
+                        help='independent timed repetitions; the record '
+                             'reports the MEDIAN step time plus the '
+                             'per-run list (error bar, like /bench.py)')
     args = parser.parse_args(argv)
 
     import jax
@@ -93,15 +97,21 @@ def main(argv=None):
         n_steps = args.iters
 
     sync(step())                                        # compile + warmup
-    import contextlib
-    trace = (jax.profiler.trace(args.profile) if args.profile
-             else contextlib.nullcontext())
-    with trace:
+
+    def timed_loop():
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = step()
         sync(out)                                       # final sync
-        dt = (time.perf_counter() - t0) / n_steps
+        return (time.perf_counter() - t0) / n_steps
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            dts = [timed_loop()]
+    else:
+        dts = sorted(timed_loop() for _ in range(max(1, args.repeats)))
+    dt = dts[len(dts) // 2] if len(dts) % 2 else \
+        0.5 * (dts[len(dts) // 2 - 1] + dts[len(dts) // 2])
     record = {
         'metric': '{}_bpbreid_train_step_{}x{}_b{}{}'.format(
             args.backbone, args.height, args.width, args.batch_size,
@@ -109,6 +119,7 @@ def main(argv=None):
         'value': round(args.batch_size / dt, 2),
         'unit': 'images/sec/chip',
         'step_ms': round(dt * 1e3, 2),
+        'runs_ms': [round(d * 1e3, 2) for d in dts],
     }
     if args.profile:
         # tracing overhead inflates dt — mark the record so a profiled

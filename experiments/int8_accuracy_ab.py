@@ -95,6 +95,24 @@ def main():
     if 'pertensor' in wanted:
         run_variant('per-tensor activation scales',
                     int8_act_granularity='per_tensor')
+    if 'sharedpt' in wanted:
+        run_variant('shared + per-tensor scales',
+                    int8_shared_points=True,
+                    int8_act_granularity='per_tensor')
+    if 'floor16' in wanted:
+        run_variant('per-channel floor16 (bounded weight-fold spread)',
+                    int8_act_granularity='per_channel_floor16')
+    if 'floor4' in wanted:
+        run_variant('per-channel floor4',
+                    int8_act_granularity='per_channel_floor4')
+    if 'sharedfloor16' in wanted:
+        run_variant('shared + per-channel floor16',
+                    int8_shared_points=True,
+                    int8_act_granularity='per_channel_floor16')
+    if 'pt100' in wanted:
+        run_variant('per-tensor, abs-max calibration',
+                    int8_act_granularity='per_tensor',
+                    int8_calib_percentile=100.0)
     if 'skiphead' in wanted:
         run_variant('skip incre/downsamp head',
                     int8_skip_patterns=['incre_modules', 'downsamp_modules'])

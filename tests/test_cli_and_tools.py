@@ -251,6 +251,10 @@ def test_bench_train_smoke(capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec['unit'] == 'images/sec/chip' and rec['value'] > 0
+    # error bar (round-4 verdict item 5): per-repetition list, sorted,
+    # median consistent with the reported step time
+    assert rec['runs_ms'] == sorted(rec['runs_ms']) and len(rec['runs_ms']) == 3
+    assert rec['step_ms'] == rec['runs_ms'][1]
 
 
 def test_profile_summary_tool(tmp_path, capsys):

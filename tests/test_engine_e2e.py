@@ -549,3 +549,114 @@ def test_overfit_synthetic():
     assert best_train_rank1 >= 0.95, \
         'train-set rank-1 %.3f after training (epoch0 eval mAP %.3f)' \
         % (best_train_rank1, map_0)
+
+
+@pytest.mark.slow
+def test_overfit_synthetic_hrnet32():
+    """Flagship learning gate (round-4 verdict item 4): the hrnet32
+    BPBreID path — multi-resolution virtual-BN pooling
+    (BPBreID.multires_pooling), FastBatchNorm's custom VJP everywhere,
+    and train-mode space-to-depth lane packing of the 32-ch branch —
+    trained to actual retrieval IMPROVEMENT, not just one-step parity.
+    A wrong-but-self-consistent custom-VJP or packing detail would pass
+    every parity test and still fail to learn; this catches it.
+
+    The backbone is a depth-reduced HRNet-W32 (1 module per stage,
+    2 blocks per branch, SAME channel widths 32/64/128/256 so lane
+    packing, the incre head planes and the 1920-ch multires head are
+    exercised unchanged) to fit the CPU test budget. Gates mirror
+    test_overfit_synthetic: held-out eval mAP strictly rises above the
+    epoch-0 value and train-set cross-camera rank-1 reaches >=0.95.
+    Reference run-loop semantics: engine/engine.py:127-253; reference
+    backbone: torchreid/models/hrnet.py:314-620."""
+    import copy
+    from bpbreid_tpu.config import get_default_config
+    from bpbreid_tpu.data import ImageDataManager
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.data.loader import BatchLoader
+    from bpbreid_tpu.engine import ImagePartBasedEngine
+    from bpbreid_tpu.models.bpbreid import BPBreID
+    from bpbreid_tpu.optim import build_optimizer
+    from bpbreid_tpu.ops.masks import compute_parts_num_and_names
+    from bpbreid_tpu.utils.engine_state import EngineState
+    from bpbreid_tpu.utils.writer import Writer
+
+    small_w32 = {'stage2': (1, 2, (2, 2), (32, 64)),
+                 'stage3': (1, 3, (2, 2, 2), (32, 64, 128)),
+                 'stage4': (1, 4, (2, 2, 2, 2), (32, 64, 128, 256))}
+    clear_dataset_cache()
+    cfg = get_default_config()
+    cfg.data.height, cfg.data.width = 64, 32
+    cfg.data.sources = cfg.data.targets = ['synthetic_hard']
+    cfg.data.transforms = ['rf']
+    cfg.train.batch_size = 16
+    cfg.sampler.num_instances = 4
+    cfg.test.batch_size = 16
+    cfg.model.bpbreid.backbone = 'hrnet32'
+    cfg.model.bpbreid.masks.preprocess = 'five_v'
+    cfg.model.bpbreid.dim_reduce_output = 64
+    compute_parts_num_and_names(cfg)
+    dm = ImageDataManager(
+        config=cfg, root='', sources=cfg.data.sources,
+        targets=cfg.data.targets, height=64, width=32,
+        transforms=cfg.data.transforms, batch_size_train=16,
+        batch_size_test=16, workers=1, num_instances=4, use_masks=True,
+        masks_dir='pifpaf_maskrcnn_filtering')
+    model = BPBreID(num_classes=dm.num_train_pids, parts_num=5,
+                    backbone='hrnet32', backbone_stages=small_w32,
+                    last_stride=1, dim_reduce='after_pooling',
+                    dim_reduce_output=64)
+    # the gate must exercise the flagship fast paths, not a fallback
+    assert model.multires_pooling
+    engine = ImagePartBasedEngine(
+        cfg, dm, model, build_optimizer(optim='adam', lr=1e-3),
+        writer=Writer(cfg), engine_state=EngineState(0, 1),
+        mask_filtering_testing=True)
+    engine.init_state()
+
+    def ev():
+        cmc, mAP, _, _ = engine._evaluate(
+            0, dataset_name='synthetic_hard',
+            query_loader=dm.test_loader['synthetic_hard']['query'],
+            gallery_loader=dm.test_loader['synthetic_hard']['gallery'],
+            normalize_feature=True, ranks=(1,))
+        return float(cmc[0]), float(mAP)
+
+    memo = copy.copy(dm.train_loader.dataset)
+    memo.query = memo.train
+    memo.gallery = memo.train
+
+    def ev_train():
+        cmc, mAP, _, _ = engine._evaluate(
+            0, dataset_name='synthetic_hard_train',
+            query_loader=BatchLoader(memo, 'query', 16, 64, 32,
+                                     num_workers=1),
+            gallery_loader=BatchLoader(memo, 'gallery', 16, 64, 32,
+                                       num_workers=1),
+            normalize_feature=True, ranks=(1,))
+        return float(cmc[0]), float(mAP)
+
+    rank1_0, map_0 = ev()
+    assert map_0 < 0.7, \
+        'hard set solved at random init (mAP %.3f) - gate is vacuous' % map_0
+    # the HRNet needs a longer runway than resnet18: it is much deeper
+    # at random init (no pretrained stem) and BN-dense, so the metric
+    # structure emerges later. Track BOTH gates along the trajectory
+    # (held-out mAP peaks while memorisation is still consolidating)
+    # and stop as soon as both have been met.
+    best_train_rank1, best_map = 0.0, map_0
+    for epoch in range(48):
+        for batch in dm.train_loader:
+            engine.forward_backward(batch)
+        if epoch < 8 or epoch % 2 == 0:
+            continue        # proto curve: rank-1 can't be there yet
+        tr1, _ = ev_train()
+        best_train_rank1 = max(best_train_rank1, tr1)
+        _, mAP = ev()
+        best_map = max(best_map, mAP)
+        if best_train_rank1 >= 0.95 and best_map > map_0:
+            break
+    assert best_map > map_0, (best_map, map_0)
+    assert best_train_rank1 >= 0.95, \
+        'train-set rank-1 %.3f after training (epoch0 eval mAP %.3f)' \
+        % (best_train_rank1, map_0)

@@ -187,3 +187,26 @@ def test_int8_hrnet_preserves_features_and_ranking():
     assert cos_s.min() > 0.99, cos_s
     np.testing.assert_array_equal(np.asarray(vis_f['parts']),
                                   np.asarray(vis_s['parts']))
+
+
+def test_act_scale_granularities():
+    """act_scale_from_amax under the three granularities: per-channel
+    passthrough, per-tensor collapse, and per_channel_floor<K> (floors
+    each channel's amax at max/K — bounds the weight-fold dynamic range
+    that otherwise destroys per-output-channel weight quantization, see
+    the round-5 accuracy A/B in MODEL_ZOO.md)."""
+    from bpbreid_tpu.ops.quant import act_scale_from_amax, int8_inference
+    amax = jnp.asarray([160.0, 1.0, 0.0, 40.0])
+    with int8_inference(act_granularity='per_channel'):
+        np.testing.assert_allclose(act_scale_from_amax(amax),
+                                   amax / 127.0)
+        # scalar amax (module-level shared point): granularity-agnostic
+        assert float(act_scale_from_amax(jnp.asarray(2.54))) == \
+            pytest.approx(0.02)
+    with int8_inference(act_granularity='per_tensor'):
+        s = act_scale_from_amax(amax)
+        assert s.ndim == 0 and float(s) == pytest.approx(160.0 / 127.0)
+    with int8_inference(act_granularity='per_channel_floor16'):
+        np.testing.assert_allclose(
+            act_scale_from_amax(amax),
+            np.maximum(np.asarray(amax), 160.0 / 16.0) / 127.0)

@@ -123,3 +123,71 @@ def test_reproduce_flow(tmp_path):
               'test.batch_size', '8', 'train.batch_size', '8',
               'data.workers', '1'])
     assert not strict['ok']
+
+
+def _make_occ_duke_tree(root, num_pids=4, num_cams=2, imgs=2, h=64, w=32):
+    """Occluded_Duke-shaped fixture: DukeMTMC directory layout with the
+    pifpaf confidence-field mask convention
+    (masks/<dir>/<sub>/<name>.jpg.confidence_fields.npy — reference
+    image/occluded_dukemtmc.py:16-80 masks_dirs)."""
+    import cv2
+    base = osp.join(root, 'Occluded_Duke')
+    rng = np.random.default_rng(1)
+    pid_colors = {pid: rng.integers(0, 200, 3) for pid in range(1, num_pids + 1)}
+
+    def fill(sub, per_cam):
+        d = osp.join(base, sub)
+        os.makedirs(d, exist_ok=True)
+        md = osp.join(base, 'masks', 'pifpaf_maskrcnn_filtering', sub)
+        os.makedirs(md, exist_ok=True)
+        frame = 0
+        for pid in range(1, num_pids + 1):
+            for cam in range(1, num_cams + 1):
+                for i in range(per_cam):
+                    frame += 1
+                    name = '{:04d}_c{}_f{:07d}'.format(pid, cam, frame)
+                    img = (pid_colors[pid][None, None, :]
+                           + rng.integers(0, 56, (h, w, 3))).astype(np.uint8)
+                    cv2.imwrite(osp.join(d, name + '.jpg'), img)
+                    masks = rng.random((36, h // 8, w // 8)).astype(np.float32)
+                    np.save(osp.join(md, name + '.jpg.confidence_fields.npy'),
+                            masks)
+
+    fill('bounding_box_train', imgs)
+    fill('query', 1)
+    fill('bounding_box_test', imgs)
+    return base
+
+
+def test_reproduce_flow_occluded_duke(tmp_path):
+    """Second BASELINE target's turnkey path (round-4 verdict item 8):
+    the occluded_duke dataset layout + the repo's
+    configs/bpbreid/bpbreid_occ_duke_test.yaml (mirror of the reference
+    configs/bpbreid/bpbreid_occ_duke_test.yaml) drive the same
+    convert->eval->compare flow — with the checkpoint-embedded model
+    config overriding the yaml's flagship backbone (load_config
+    semantics, reference scripts/main.py + tools/feature_extractor)."""
+    cv2 = pytest.importorskip('cv2')  # noqa: F841
+    from bpbreid_tpu.data.datasets import clear_dataset_cache
+    from bpbreid_tpu.tools.reproduce import reproduce
+
+    clear_dataset_cache()
+    root = str(tmp_path)
+    _make_occ_duke_tree(root)
+    ckpt = osp.join(root, 'job-2_120_model.pth.tar')
+    _make_reference_checkpoint(ckpt, num_classes=4)
+
+    cfg_file = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                        'configs', 'bpbreid', 'bpbreid_occ_duke_test.yaml')
+    result = reproduce(
+        ckpt, root, dataset='occluded_duke', config_file=cfg_file,
+        save_dir=osp.join(root, 'log'),
+        masks_dir='pifpaf_maskrcnn_filtering',
+        opts=['data.height', '64', 'data.width', '32',
+              'test.batch_size', '8', 'train.batch_size', '8',
+              'data.workers', '1', 'test.visrank', 'False'])
+    assert np.isfinite(result['mAP']) and 0.0 <= result['mAP'] <= 1.0
+    assert np.isfinite(result['rank1'])
+    assert result['stored']['rank1'] == pytest.approx(0.9)
+    assert np.isfinite(result['delta_mAP'])
+    assert result['ok']
