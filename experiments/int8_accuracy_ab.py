@@ -120,6 +120,29 @@ def main():
         run_variant('shared + skip stage4',
                     int8_shared_points=True,
                     int8_skip_patterns=['stage4'])
+    if 'ptskiphead' in wanted:
+        run_variant('per-tensor + float incre head',
+                    int8_act_granularity='per_tensor',
+                    int8_skip_patterns=['incre_modules'])
+    # the stem convs are named 'conv1'/'conv2' at the BACKBONE root;
+    # anchor with the parent attribute so block-level conv1/conv2
+    # (substring match) stay quantized
+    if 'ptskipstem' in wanted:
+        run_variant('per-tensor + float stem',
+                    int8_act_granularity='per_tensor',
+                    int8_skip_patterns=['extractor/conv1',
+                                        'extractor/conv2'])
+    if 'ptskipboth' in wanted:
+        run_variant('per-tensor + float stem/incre',
+                    int8_act_granularity='per_tensor',
+                    int8_skip_patterns=['extractor/conv1',
+                                        'extractor/conv2',
+                                        'incre_modules'])
+    if 'sharedptskiphead' in wanted:
+        run_variant('shared + per-tensor + float incre head',
+                    int8_shared_points=True,
+                    int8_act_granularity='per_tensor',
+                    int8_skip_patterns=['incre_modules'])
 
 
 if __name__ == '__main__':
