@@ -37,15 +37,20 @@ def main():
     parser.add_argument('--pallas-pooling', action='store_true')
     parser.add_argument('--no-int8', action='store_true',
                         help='disable the int8 backbone-conv path')
-    parser.add_argument('--int8-shared', action='store_true',
+    parser.add_argument('--int8-shared', default=True,
+                        action=argparse.BooleanOptionalAction,
                         help='module-level shared quantization points '
                              '(cfg.test.int8_shared_points): one int8 '
                              'HBM copy per block input instead of '
-                             'per-conv quantize epilogues')
-    parser.add_argument('--int8-act-gran', default='per_channel',
+                             'per-conv quantize epilogues. Default ON '
+                             '— the round-5 A/B winner on throughput '
+                             'AND accuracy (MODEL_ZOO.md int8 table); '
+                             '--no-int8-shared selects the per-conv '
+                             'fallback graph')
+    parser.add_argument('--int8-act-gran', default='per_tensor',
                         help='activation scale granularity '
                              '(cfg.test.int8_act_granularity): '
-                             'per_channel | per_tensor | '
+                             'per_tensor (default) | per_channel | '
                              'per_channel_floor<K>')
     parser.add_argument('--scan-batches', type=int, default=4,
                         help='batches fused per compiled dispatch '
@@ -195,8 +200,8 @@ def main():
         try:
             if use_int8:
                 # same mixed-precision configuration the accuracy gate
-                # covers (TestCfg defaults: per-conv scales, float
-                # residuals — see config.py int8_shared_points)
+                # covers (TestCfg defaults: shared points + per-tensor
+                # act scales — see config.py int8_shared_points)
                 with int8_inference(shared=args.int8_shared,
                                     act_granularity=args.int8_act_gran):
                     out = forward(variables, bench_images)
@@ -269,6 +274,8 @@ def main():
         'batch': batch_size,
         'scan_k': scan_k,
         'dtype': precision,
+        **({'int8_shared': bool(args.int8_shared),
+            'int8_act_gran': args.int8_act_gran} if use_int8 else {}),
         'fallback_rung': fallback_rung,
         # error bar: per-repetition img/s (sorted); value above is the
         # median. Single-run tunnel variance was measured at ~±3-6%

@@ -298,14 +298,19 @@ class TestCfg:
     # module-path substrings kept in float (e.g. ['incre_modules'])
     int8_skip_patterns: List[str] = _f([])
     # share one int8 copy per block input across convs AND residual
-    # adds (faster, but quantization error then accumulates along the
-    # residual trunk — measured mAP cost on the flagship parity rig;
-    # False keeps residuals float and quantizes per conv)
-    int8_shared_points: bool = False
-    # 'per_channel' | 'per_tensor' | 'per_channel_floor<K>' activation
-    # scale granularity (floor<K> bounds the weight-fold spread to K —
-    # see ops/quant.py act_scale_from_amax)
-    int8_act_granularity: str = 'per_channel'
+    # adds. Default True: the round-5 on-chip A/B measured shared mode
+    # +14% throughput AND a smaller mAP delta than per-conv scales
+    # (MODEL_ZOO.md int8 table); False keeps residuals float and
+    # quantizes per conv (the conservative fallback)
+    int8_shared_points: bool = True
+    # 'per_tensor' | 'per_channel' | 'per_channel_floor<K>' activation
+    # scale granularity. Default per_tensor: per-channel scales must be
+    # folded into the conv weights to keep the MXU conv pure int8, and
+    # the fold transfers the input-channel range spread into the weight
+    # rows — measured ~0.19 mAP cost vs ~0.06 for per_tensor on the
+    # trained rig (ops/quant.py act_scale_from_amax; floor<K> bounds
+    # the fold spread to K and interpolates between the two)
+    int8_act_granularity: str = 'per_tensor'
     normalize_feature: bool = True
     ranks: List[int] = _f([1, 5, 10, 20])
     evaluate: bool = False

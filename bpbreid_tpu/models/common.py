@@ -93,9 +93,12 @@ class PConv(nn.Module):
             if self.has_variable('quant', 'act_amax'):
                 scale = act_scale_from_amax(
                     self.get_variable('quant', 'act_amax'))
-            else:     # uncalibrated: dynamic per-channel fallback
-                scale = jnp.max(jnp.abs(x.astype(jnp.float32)),
-                                axis=tuple(range(x.ndim - 1))) / 127.0
+            else:     # uncalibrated: dynamic fallback, same granularity
+                # as the calibrated path (act_scale_from_amax) so the
+                # two agree whenever calibration saw the same batch
+                scale = act_scale_from_amax(
+                    jnp.max(jnp.abs(x.astype(jnp.float32)),
+                            axis=tuple(range(x.ndim - 1))))
             y = quant_conv(x, kernel, tuple(self.strides), self.padding,
                            scale, groups=self.feature_group_count,
                            out_dtype=self.dtype)

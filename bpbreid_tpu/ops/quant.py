@@ -35,12 +35,12 @@ earlier ones):
       ``quant_out`` are no-ops (they return the tensor unchanged), so
       the block/module-level hooks cost nothing outside int8 mode.
   ``cfg.test.int8 = True``, ``int8_shared_points = False`` (per-conv,
-      the conservative default for accuracy): every PConv quantizes
-      its OWN input with its own calibrated scale; residual/identity
-      adds consume the exact float tensor, so quantization error does
-      not compound along the residual trunk. Measured 7027 img/s
-      (flagship, batch 256, scan_k 4, round 5).
-  ``int8_shared_points = True`` (the throughput mode): hot tensors are
+      the conservative fallback): every PConv quantizes its OWN input
+      with its own calibrated scale; residual/identity adds consume
+      the exact float tensor, so quantization error does not compound
+      along the residual trunk. Measured 7027 img/s (flagship, batch
+      256, scan_k 4, round 5).
+  ``int8_shared_points = True`` (the DEFAULT): hot tensors are
       quantized ONCE at module level (``calibrated_quant``) and blocks
       PRODUCE ``QTensor`` outputs (``quant_out``/``quant_blocks`` —
       the quantize fuses into the block's final add+relu so the bf16
@@ -48,12 +48,23 @@ earlier ones):
       residual adds — reads the same s8 copy. Producer-side quant is
       numerically identical to the consumer-side quantize it replaces
       (same tensor, same calibrated scale; equivalence-tested in
-      tests/test_quant.py). Measured 8004 img/s (+14%, round 5).
-  ``int8_act_granularity = 'per_tensor'``: collapse the per-channel
-      activation scales with a max at use time (accuracy A/B knob;
-      measured ~5% absolute mAP cost — keep 'per_channel').
+      tests/test_quant.py). Measured 8004 img/s (+14%, round 5), and
+      a SMALLER mAP delta than per-conv on the trained accuracy rig
+      (MODEL_ZOO.md int8 table) — shared mode wins both axes.
+  ``int8_act_granularity = 'per_tensor'`` (the DEFAULT): one scalar
+      activation scale per quantization point. Per-channel scales must
+      be FOLDED into the conv weights to keep the MXU conv pure int8,
+      and the fold transfers the input-channel range spread into the
+      weight rows, collapsing per-output-channel weight precision when
+      BN ranges are unequalized — measured ~0.19 absolute mAP cost vs
+      ~0.06 for per_tensor on the trained rig, and per_tensor is also
+      ~1% faster (8085 vs 8004 img/s shared). 'per_channel_floor<K>'
+      bounds the fold spread to K and interpolates monotonically
+      between the two (see ``act_scale_from_amax``).
   ``int8_skip_patterns = [...]``: module-path substrings kept in
-      float under either mode (mixed-precision escape hatch).
+      float under either mode (mixed-precision escape hatch; the
+      accuracy A/B measured float incre-head / stem mixes recover
+      another ~0.03 mAP for a few % throughput).
 
 The engine (engine/part_based.py) builds its int8 eval step from
 ``QuantOpts.from_config(cfg.test)``, so the config knobs select the
@@ -89,8 +100,8 @@ class QuantOpts(NamedTuple):
     Defaults mirror config.py ``cfg.test.int8_*``.
     """
     skip_patterns: Any = ()
-    shared: bool = False
-    act_granularity: str = 'per_channel'
+    shared: bool = True
+    act_granularity: str = 'per_tensor'
 
     @classmethod
     def from_config(cls, tcfg):
@@ -98,9 +109,9 @@ class QuantOpts(NamedTuple):
         return cls(
             skip_patterns=tuple(
                 getattr(tcfg, 'int8_skip_patterns', ()) or ()),
-            shared=bool(getattr(tcfg, 'int8_shared_points', False)),
+            shared=bool(getattr(tcfg, 'int8_shared_points', True)),
             act_granularity=str(
-                getattr(tcfg, 'int8_act_granularity', 'per_channel')))
+                getattr(tcfg, 'int8_act_granularity', 'per_tensor')))
 
     def inference_context(self):
         return int8_inference(skip_patterns=self.skip_patterns,
@@ -111,12 +122,13 @@ _MODE = contextvars.ContextVar('bpbreid_quant_mode', default='off')
 _CALIB_PCT = contextvars.ContextVar('bpbreid_quant_calib_pct', default=100.0)
 # mixed-precision controls, read at trace time like _MODE:
 _SKIP = contextvars.ContextVar('bpbreid_quant_skip', default=())
-# default False: matches QuantOpts.shared / cfg.test.int8_shared_points,
+# default True: matches QuantOpts.shared / cfg.test.int8_shared_points,
 # so a bare `with int8_inference():` quantizes exactly like the
-# config-driven engine path (per-conv scales, float residual adds)
-_SHARED = contextvars.ContextVar('bpbreid_quant_shared', default=False)
+# config-driven engine path (shared points + producer quant — the
+# round-5 measured winner on both throughput and accuracy)
+_SHARED = contextvars.ContextVar('bpbreid_quant_shared', default=True)
 _ACT_GRAN = contextvars.ContextVar('bpbreid_quant_act_gran',
-                                   default='per_channel')
+                                   default='per_tensor')
 
 
 @contextlib.contextmanager
@@ -147,17 +159,19 @@ def int8_inference(enabled=True, skip_patterns=None, shared=None,
             (``'/'.join(module.path)``) to keep in FLOAT — e.g.
             ``('incre_modules',)`` keeps the HRNet feature heads exact
             while the trunk runs int8.
-        shared: False (the default, matching cfg.test.int8_shared_points)
-            disables the module-level shared quantization points
-            (``calibrated_quant``): every conv then quantizes its own
-            input with its own calibrated scale and — critically —
-            residual/identity adds consume the exact FLOAT tensor
-            instead of a dequantized int8 copy, so quantization error
-            does not accumulate along the residual trunk. True shares
-            one int8 copy per block input (faster, measurable mAP cost).
-        act_granularity: 'per_channel' (default) or 'per_tensor'
+        shared: True (the default, matching cfg.test.int8_shared_points)
+            enables the module-level shared quantization points
+            (``calibrated_quant``) and block producer quant: one int8
+            copy per block input/output, shared by every consumer —
+            the round-5 measured winner on both throughput (+14%) and
+            accuracy (MODEL_ZOO.md int8 table). False quantizes per
+            conv and keeps residual/identity adds on the exact FLOAT
+            tensor (the conservative fallback).
+        act_granularity: 'per_tensor' (default) or 'per_channel'
             activation scales (per-tensor reduces the stored
-            per-channel amax with a max at use time).
+            per-channel amax with a max at use time; see
+            ``act_scale_from_amax`` for why per-channel folding loses
+            accuracy here).
     """
     return _set_mode('int8' if enabled else 'off',
                      skip_patterns=skip_patterns, shared=shared,
@@ -229,13 +243,14 @@ def calib_amax(x):
     configured percentile of |x|, see ``int8_calibration``) over all
     axes but the trailing channel axis.
 
-    Per-CHANNEL activation scales matter because BN+ReLU outputs have
-    per-channel ranges spanning orders of magnitude — one shared scale
-    crushes the low-range channels to a few int8 codes (measured on the
-    flagship parity rig: per-tensor scales cost ~5% absolute mAP,
-    per-channel is within noise of float). The per-channel scale still
-    folds into the conv weights (``quant_conv``), so the MXU conv stays
-    pure int8 x int8."""
+    The recorded range is per-channel so the GRANULARITY stays a
+    use-time knob (``act_scale_from_amax``): per-tensor consumers
+    collapse it with a max. Note the round-5 accuracy A/B reversed the
+    early assumption that per-channel scales would win: folding them
+    into the conv weights (``quant_conv``) transfers the input-channel
+    range spread into the weight rows and costs ~3x the mAP of a plain
+    per-tensor scale on the trained rig — 'per_tensor' is the
+    default."""
     pct = _CALIB_PCT.get()
     ax = jnp.abs(x.astype(jnp.float32))
     flat = ax.reshape(-1, ax.shape[-1])

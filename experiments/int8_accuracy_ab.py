@@ -69,7 +69,17 @@ def main():
     print(f'[{time.time()-t0:.0f}s] float: mAP {mAP_f:.4f} '
           f'r1 {float(cmc_f[0]):.4f}')
 
+    # every variant starts from this explicit per-conv/per-channel
+    # baseline (NOT the cfg defaults — those were flipped to the A/B
+    # winner after the table in MODEL_ZOO.md was recorded, and the
+    # variant names here describe deltas from the per-conv baseline)
+    baseline = dict(int8_shared_points=False,
+                    int8_act_granularity='per_channel',
+                    int8_skip_patterns=[],
+                    int8_calib_percentile=99.9)
+
     def run_variant(name, **overrides):
+        overrides = {**baseline, **overrides}
         prev = {k: getattr(cfg.test, k) for k in overrides}
         cfg.test.int8 = True
         for k, v in overrides.items():
@@ -89,7 +99,7 @@ def main():
 
     wanted = set(args.variants.split(','))
     if 'perconv' in wanted:
-        run_variant('per-conv scales (cfg default)')
+        run_variant('per-conv scales (conservative baseline)')
     if 'shared' in wanted:
         run_variant('shared points (int8 residuals)', int8_shared_points=True)
     if 'pertensor' in wanted:

@@ -224,7 +224,9 @@ def test_int8_knob_changes_take_effect_in_process(setup):
     loader = dm.test_loader['synthetic']['query']
     f_float, *_ = engine._feature_extraction(loader)
     cfg.test.int8 = True
+    prev_gran = cfg.test.int8_act_granularity
     try:
+        cfg.test.int8_act_granularity = 'per_channel'
         f_q, *_ = engine._feature_extraction(loader)
         # '' matches every flax module path -> every conv stays float,
         # so the "int8" eval must now reproduce the float features
@@ -236,7 +238,7 @@ def test_int8_knob_changes_take_effect_in_process(setup):
     finally:
         cfg.test.int8 = False
         cfg.test.int8_skip_patterns = []
-        cfg.test.int8_act_granularity = 'per_channel'
+        cfg.test.int8_act_granularity = prev_gran
         engine._int8_eval_step = None
         engine._quant_coll = None
     assert np.abs(f_q - f_float).max() > 0           # int8 is active

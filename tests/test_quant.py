@@ -103,7 +103,7 @@ def test_quant_opts_static_arg_forces_retrace():
             return m.apply(variables, x)
 
     y_float = np.asarray(m.apply(v, x))
-    y_pc = np.asarray(run(vq, x, QuantOpts()))
+    y_pc = np.asarray(run(vq, x, QuantOpts(act_granularity='per_channel')))
     y_pt = np.asarray(run(vq, x, QuantOpts(act_granularity='per_tensor')))
     # '' matches every flax module path -> every conv stays float
     y_skip = np.asarray(run(vq, x, QuantOpts(skip_patterns=('',))))
@@ -166,7 +166,8 @@ def test_int8_hrnet_preserves_features_and_ranking():
     emb_f, vis_f, *_ = model.apply(v, x, train=False)
     with int8_calibration():
         _, qvars = model.apply(v, x, train=False, mutable=['quant'])
-    with int8_inference():
+    # per-conv scales, per-channel granularity (the conservative mode)
+    with int8_inference(shared=False, act_granularity='per_channel'):
         emb_q, vis_q, *_ = model.apply({**v, **qvars}, x, train=False)
     f = np.asarray(emb_f[BN_FOREGROUND], np.float32)
     q = np.asarray(emb_q[BN_FOREGROUND], np.float32)
@@ -176,10 +177,12 @@ def test_int8_hrnet_preserves_features_and_ranking():
     np.testing.assert_array_equal(np.asarray(vis_f['parts']),
                                   np.asarray(vis_q['parts']))
 
-    # shared quantization points (one s8 copy per block, produced in
-    # the block's output fusion — models/common.py quant_out): slightly
+    # shared quantization points + per-tensor act scales (the DEFAULT
+    # mode of a bare int8_inference(), matching cfg.test defaults — the
+    # round-5 A/B winner): one s8 copy per block, produced in the
+    # block's output fusion (models/common.py quant_out); slightly
     # looser bound, the residual trunk rides int8
-    with int8_inference(shared=True):
+    with int8_inference():
         emb_s, vis_s, *_ = model.apply({**v, **qvars}, x, train=False)
     s = np.asarray(emb_s[BN_FOREGROUND], np.float32)
     cos_s = (f * s).sum(-1) / (np.linalg.norm(f, axis=-1)
