@@ -52,11 +52,24 @@ def main():
                              '(cfg.test.int8_act_granularity): '
                              'per_tensor (default) | per_channel | '
                              'per_channel_floor<K>')
-    parser.add_argument('--scan-batches', type=int, default=4,
+    parser.add_argument('--int8-skip',
+                        default='extractor/conv1,extractor/conv2',
+                        help='comma-separated module-path substrings '
+                             'kept in float (cfg.test.int8_skip_'
+                             'patterns). Default: the float stem — '
+                             'measured faster AND more accurate than '
+                             'quantizing it (MODEL_ZOO.md). Pass an '
+                             'empty string for the fully-quantized '
+                             'graph')
+    parser.add_argument('--scan-batches', type=int, default=8,
                         help='batches fused per compiled dispatch '
                              '(lax.scan, same per-image math; mirrors '
                              'cfg.test.batches_per_dispatch in the eval '
-                             'engine). 1 = per-batch dispatch')
+                             'engine). 1 = per-batch dispatch. Default '
+                             '8: measured 8117 img/s vs 7996 at 4 '
+                             '(round 5; 16 is identical to 8, so the '
+                             'dispatch cost is fully amortized here '
+                             'and 8 keeps the smaller input stack)')
     parser.add_argument('--profile', default=None, metavar='DIR',
                         help='wrap the timed loop in a jax.profiler '
                              'trace written to DIR; summarize with '
@@ -202,8 +215,10 @@ def main():
                 # same mixed-precision configuration the accuracy gate
                 # covers (TestCfg defaults: shared points + per-tensor
                 # act scales — see config.py int8_shared_points)
+                skip = tuple(p for p in args.int8_skip.split(',') if p)
                 with int8_inference(shared=args.int8_shared,
-                                    act_granularity=args.int8_act_gran):
+                                    act_granularity=args.int8_act_gran,
+                                    skip_patterns=skip or None):
                     out = forward(variables, bench_images)
             else:
                 out = forward(variables, bench_images)
@@ -275,7 +290,9 @@ def main():
         'scan_k': scan_k,
         'dtype': precision,
         **({'int8_shared': bool(args.int8_shared),
-            'int8_act_gran': args.int8_act_gran} if use_int8 else {}),
+            'int8_act_gran': args.int8_act_gran,
+            **({'int8_skip': args.int8_skip} if args.int8_skip else {})}
+           if use_int8 else {}),
         'fallback_rung': fallback_rung,
         # error bar: per-repetition img/s (sorted); value above is the
         # median. Single-run tunnel variance was measured at ~±3-6%

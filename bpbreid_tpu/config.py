@@ -295,8 +295,15 @@ class TestCfg:
     # to recover most of the abs-max mAP cost (ops/quant.py)
     int8_calib_percentile: float = 99.9
     # mixed-precision controls (ops/quant.py int8_inference):
-    # module-path substrings kept in float (e.g. ['incre_modules'])
-    int8_skip_patterns: List[str] = _f([])
+    # module-path substrings kept in float. Default: the stem convs —
+    # measured BOTH faster (8215 vs 8117 img/s: a 3-channel stride-2
+    # conv underuses the int8 MXU and the full-res input quantize pass
+    # is pure overhead) and more accurate (~0.006 mAP back on the
+    # trained rig) than quantizing them; see MODEL_ZOO.md. Add
+    # 'incre_modules' for the best-accuracy mix (-1.1% throughput);
+    # set [] for the fully-quantized graph.
+    int8_skip_patterns: List[str] = _f(['extractor/conv1',
+                                        'extractor/conv2'])
     # share one int8 copy per block input across convs AND residual
     # adds. Default True: the round-5 on-chip A/B measured shared mode
     # +14% throughput AND a smaller mAP delta than per-conv scales

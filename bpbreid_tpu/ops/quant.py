@@ -61,10 +61,15 @@ earlier ones):
       ~1% faster (8085 vs 8004 img/s shared). 'per_channel_floor<K>'
       bounds the fold spread to K and interpolates monotonically
       between the two (see ``act_scale_from_amax``).
-  ``int8_skip_patterns = [...]``: module-path substrings kept in
-      float under either mode (mixed-precision escape hatch; the
-      accuracy A/B measured float incre-head / stem mixes recover
-      another ~0.03 mAP for a few % throughput).
+  ``int8_skip_patterns`` (default ``['extractor/conv1',
+      'extractor/conv2']`` — the FLOAT STEM): module-path substrings
+      kept in float under either mode. The float stem measured BOTH
+      faster (8215 vs 8117 img/s at scan 8 — a 3-channel stride-2
+      conv underuses the int8 MXU and the full-res input quantize is
+      pure overhead) and more accurate (~0.006 mAP on the trained
+      rig). Adding ``'incre_modules'`` is the best-accuracy mix
+      (-0.036 vs -0.064 mAP, -1.1% throughput); ``[]`` selects the
+      fully-quantized graph.
 
 The engine (engine/part_based.py) builds its int8 eval step from
 ``QuantOpts.from_config(cfg.test)``, so the config knobs select the
@@ -97,18 +102,21 @@ class QuantOpts(NamedTuple):
     compiled graph (bound methods compare equal, so even a fresh
     ``jax.jit(obj.method)`` hits the old cache).
 
-    Defaults mirror config.py ``cfg.test.int8_*``.
+    Defaults mirror config.py ``cfg.test.int8_*`` (incl. the float
+    stem — see the mode matrix above).
     """
-    skip_patterns: Any = ()
+    skip_patterns: Any = ('extractor/conv1', 'extractor/conv2')
     shared: bool = True
     act_granularity: str = 'per_tensor'
 
     @classmethod
     def from_config(cls, tcfg):
-        """Build from a ``cfg.test``-style namespace."""
+        """Build from a ``cfg.test``-style namespace. An explicit empty
+        ``int8_skip_patterns`` list means the fully-quantized graph."""
         return cls(
             skip_patterns=tuple(
-                getattr(tcfg, 'int8_skip_patterns', ()) or ()),
+                getattr(tcfg, 'int8_skip_patterns',
+                        cls._field_defaults['skip_patterns']) or ()),
             shared=bool(getattr(tcfg, 'int8_shared_points', True)),
             act_granularity=str(
                 getattr(tcfg, 'int8_act_granularity', 'per_tensor')))
@@ -120,8 +128,13 @@ class QuantOpts(NamedTuple):
 
 _MODE = contextvars.ContextVar('bpbreid_quant_mode', default='off')
 _CALIB_PCT = contextvars.ContextVar('bpbreid_quant_calib_pct', default=100.0)
-# mixed-precision controls, read at trace time like _MODE:
-_SKIP = contextvars.ContextVar('bpbreid_quant_skip', default=())
+# mixed-precision controls, read at trace time like _MODE (defaults
+# mirror QuantOpts / cfg.test so a bare `with int8_inference():` runs
+# the same graph as the config-driven engine path — incl. the float
+# stem, the measured throughput+accuracy winner):
+_SKIP = contextvars.ContextVar('bpbreid_quant_skip',
+                               default=('extractor/conv1',
+                                        'extractor/conv2'))
 # default True: matches QuantOpts.shared / cfg.test.int8_shared_points,
 # so a bare `with int8_inference():` quantizes exactly like the
 # config-driven engine path (shared points + producer quant — the

@@ -225,6 +225,7 @@ def test_int8_knob_changes_take_effect_in_process(setup):
     f_float, *_ = engine._feature_extraction(loader)
     cfg.test.int8 = True
     prev_gran = cfg.test.int8_act_granularity
+    prev_skip = list(cfg.test.int8_skip_patterns)
     try:
         cfg.test.int8_act_granularity = 'per_channel'
         f_q, *_ = engine._feature_extraction(loader)
@@ -232,12 +233,12 @@ def test_int8_knob_changes_take_effect_in_process(setup):
         # so the "int8" eval must now reproduce the float features
         cfg.test.int8_skip_patterns = ['']
         f_skip_all, *_ = engine._feature_extraction(loader)
-        cfg.test.int8_skip_patterns = []
+        cfg.test.int8_skip_patterns = prev_skip
         cfg.test.int8_act_granularity = 'per_tensor'
         f_pt, *_ = engine._feature_extraction(loader)
     finally:
         cfg.test.int8 = False
-        cfg.test.int8_skip_patterns = []
+        cfg.test.int8_skip_patterns = prev_skip
         cfg.test.int8_act_granularity = prev_gran
         engine._int8_eval_step = None
         engine._quant_coll = None
