@@ -153,6 +153,14 @@ def main():
                     int8_shared_points=True,
                     int8_act_granularity='per_tensor',
                     int8_skip_patterns=['incre_modules'])
+    if 'default' in wanted:
+        # the SHIPPED config default (round 5): shared points +
+        # per-tensor acts + float stem
+        run_variant('shared + per-tensor + float stem (cfg default)',
+                    int8_shared_points=True,
+                    int8_act_granularity='per_tensor',
+                    int8_skip_patterns=['extractor/conv1',
+                                        'extractor/conv2'])
 
 
 if __name__ == '__main__':
