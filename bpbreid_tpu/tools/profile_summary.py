@@ -52,13 +52,66 @@ _CATEGORIES = (
     ('infeed/outfeed', re.compile(r'infeed|outfeed|send|recv')),
 )
 
+# '%name = type opcode(' — the head of a full HLO definition string as
+# it appears in trace event names
+_DEF_RE = re.compile(r'^\s*(%[\w.\-]+)\s*=\s*\S.*?\s([a-z][\w\-]*)\(')
 
-def categorize(name):
-    low = name.lower()
+_OPCODE_CAT = {
+    'while': 'control-flow', 'conditional': 'control-flow',
+    'call': 'control-flow',
+    'convolution': 'convolution',
+    'dot': 'matmul',
+    'reduce': 'reduce', 'reduce-window': 'reduce',
+    'all-reduce': 'reduce', 'reduce-scatter': 'reduce',
+    'copy': 'copy/transpose', 'copy-start': 'copy/transpose',
+    'copy-done': 'copy/transpose', 'transpose': 'copy/transpose',
+    'reshape': 'copy/transpose', 'bitcast': 'copy/transpose',
+    'pad': 'copy/transpose', 'concatenate': 'copy/transpose',
+    'gather': 'scatter/gather', 'scatter': 'scatter/gather',
+    'dynamic-slice': 'scatter/gather',
+    'dynamic-update-slice': 'scatter/gather',
+    'infeed': 'infeed/outfeed', 'outfeed': 'infeed/outfeed',
+    'send': 'infeed/outfeed', 'recv': 'infeed/outfeed',
+}
+
+
+def _match_patterns(text):
     for cat, pat in _CATEGORIES:
-        if pat.search(low):
+        if pat.search(text):
             return cat
     return 'elementwise/other'
+
+
+def categorize(name):
+    """Bucket one trace event.
+
+    Event names are full HLO definition strings — operand lists and
+    ``calls=%...`` references included — so pattern-matching the WHOLE
+    text misfiles ops by their operands (a quantize fusion whose weight
+    operand is a ``%bitcast_fusion`` is not a copy). Parse the
+    definition head instead: the OPCODE decides when it is specific
+    (``convolution``, ``while``, ``copy``...), and for ``fusion`` ops —
+    whose payload the opcode does not reveal — only the fusion's own
+    NAME is matched against the patterns (XLA names fusions by their
+    root: ``%convert_reduce_fusion`` -> reduce,
+    ``%clamp_convert_fusion`` -> elementwise epilogue, plain
+    ``%fusion.N`` -> whatever the name hints give, else
+    elementwise/other)."""
+    low = name.lower()
+    m = _DEF_RE.match(low)
+    if not m:
+        return _match_patterns(low)
+    opname, opcode = m.group(1), m.group(2)
+    if opcode in _OPCODE_CAT:
+        return _OPCODE_CAT[opcode]
+    hinted = _match_patterns(opname)
+    if opcode == 'fusion' and hinted == 'elementwise/other':
+        # a fusion whose name carries no hint usually wraps the real
+        # work (TPU kOutput fusions put the convolution INSIDE with its
+        # epilogue — e.g. the int8 graph's clamp_convert fusions);
+        # calling that "elementwise" would hide where the FLOPs are
+        return 'fusion/mixed (conv+epilogue etc.)'
+    return hinted
 
 
 def pick_plane(profile, prefer):
