@@ -280,8 +280,11 @@ class TestCfg:
     # per-batch eval cost; the scan pays it once per k batches. The
     # per-image math is identical. A trailing short group is padded
     # with all-invalid copies of the last batch, so exactly one eval
-    # graph is compiled. Set 1 for per-batch dispatch.
-    batches_per_dispatch: int = 4
+    # graph is compiled. Set 1 for per-batch dispatch. Default 8,
+    # matching the bench's measured sweet spot (round 5: scan 8 beat
+    # 4 by 1.5% and 16 added nothing; the engine's one-dispatch-
+    # behind readback keeps the transient HBM footprint bounded).
+    batches_per_dispatch: int = 8
     # calibrated int8 backbone convolutions for feature extraction
     # (ops/quant.py): calibrates activation ranges on the first
     # `int8_calib_batches` eval batches (running |x|max accumulated
